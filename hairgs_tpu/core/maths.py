@@ -1,0 +1,35 @@
+"""Small math helpers shared across the framework."""
+
+import math
+
+import jax.numpy as jnp
+from jax.scipy.special import erfinv
+
+MIN_VAL = 1e-7  # reference GaussianModel.min_val (scene/gaussian_model.py:34)
+
+
+def inverse_sigmoid(x):
+    """log(x / (1-x)); reference utils/general.py:22."""
+    return jnp.log(x / (1 - x))
+
+
+def normal_icdf(q):
+    """Standard normal inverse CDF."""
+    return math.sqrt(2.0) * float(erfinv(2.0 * q - 1.0))
+
+
+def pval_to_dist_to_scale_factor(pval: float) -> float:
+    """dist_to_scale_factor = 1 / icdf(1 - pval/2).
+
+    Reference scene/gaussian_model.py:696-704 (set_pval); pval=0.05 gives
+    0.5102133812190369.
+    """
+    return 1.0 / normal_icdf(1.0 - pval / 2.0)
+
+
+def dist_to_scale_factor_to_pval(factor: float) -> float:
+    """Inverse of the above; reference scene/gaussian_model.py:686-694."""
+    # p = 2 * (1 - cdf(1/factor))
+    x = 1.0 / factor
+    cdf = 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+    return 2.0 * (1.0 - cdf)

@@ -1,0 +1,139 @@
+"""Top-level differentiable render entry point.
+
+Replaces the reference render() front-end (gaussian_renderer/__init__.py:24-127)
+plus the CUDA Rasterizer::forward pipeline (rasterizer_impl.cu:198-336).
+
+Key TPU-first departure from the reference: the renderer is *channel-generic*
+(the CUDA kernel is hard-wired to 3 channels, config.h:15), so one fused pass
+renders rgb + hair-mask + orientation together instead of the reference's
+three rasterizations per training step (train.py:146, loss/losses.py:247,312).
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hairgs_tpu.core.camera import Camera
+from hairgs_tpu.core.sh import eval_sh
+from hairgs_tpu.render.binning import bin_gaussians
+from hairgs_tpu.render.composite import assemble_image, composite
+from hairgs_tpu.render.preprocess import preprocess
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (shapes are fixed under jit).
+
+    tile_size 16 matches config.h:15-16 (BLOCK_X/Y). The two capacities
+    replace the dynamically-resized CUDA arenas (rasterize_points.cu:27-33);
+    overflow is counted and surfaced so drivers can bump the bucket.
+    """
+
+    tile_size: int = 16
+    max_tiles_per_gaussian: int = 16
+    max_pairs_per_tile: int = 1024
+    chunk: int = 32
+
+    def __post_init__(self):
+        assert self.max_pairs_per_tile % self.chunk == 0
+
+
+def render(
+    camera: Camera,
+    *,
+    means3d: jnp.ndarray,
+    opacity: jnp.ndarray,
+    features: jnp.ndarray,
+    scales: Optional[jnp.ndarray] = None,
+    rotations: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    bg: Optional[jnp.ndarray] = None,
+    active: Optional[jnp.ndarray] = None,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    width: int,
+    height: int,
+    config: RasterConfig = RasterConfig(),
+):
+    """Differentiable multi-channel splatting render.
+
+    Args:
+        means3d: (N,3); opacity: (N,); features: (N,C) per-Gaussian channels
+        scales (N,3) + rotations (N,4 wxyz), or cov3d_precomp (N,3,3)
+        bg: (C,) background, composited as out + T_final * bg (forward.cu:372)
+        active: (N,) bool arena mask; inactive rows are culled
+        mean2d_offset: (N,2) zeros; its gradient reproduces CUDA dL_dmean2D
+    Returns dict with render (H,W,C), final_T (H,W), radii (N,), visibility
+    (N,), and overflow diagnostics.
+    """
+    ts = config.tile_size
+    grid_w = (width + ts - 1) // ts
+    grid_h = (height + ts - 1) // ts
+
+    prep = preprocess(
+        means3d,
+        scales,
+        rotations,
+        camera,
+        width,
+        height,
+        ts,
+        active=active,
+        scale_modifier=scale_modifier,
+        cov3d_precomp=cov3d_precomp,
+        mean2d_offset=mean2d_offset,
+    )
+
+    binning = bin_gaussians(
+        prep.rect,
+        prep.depth,
+        prep.valid,
+        grid_w,
+        grid_h,
+        config.max_tiles_per_gaussian,
+        config.max_pairs_per_tile,
+    )
+
+    gid = binning.gather_idx  # (NT, K)
+    opa_eff = jnp.where(prep.valid, opacity, 0.0)
+    xy_g = prep.xy[gid]
+    con_g = prep.conic[gid]
+    opa_g = jnp.where(binning.pair_valid, opa_eff[gid], 0.0)
+    feat_g = features[gid]
+
+    tiles, trans_tiles = composite(
+        xy_g, con_g, opa_g, feat_g, grid_w, grid_h, ts, config.chunk
+    )
+
+    image = assemble_image(tiles, grid_w, grid_h, ts, height, width)
+    final_t = assemble_image(trans_tiles, grid_w, grid_h, ts, height, width)
+    if bg is not None:
+        image = image + final_t[..., None] * bg
+
+    return {
+        "render": image,
+        "final_T": final_t,
+        "radii": prep.radius,
+        "visibility_filter": prep.radius > 0,
+        "overflow_pairs": binning.overflow_pairs,
+        "overflow_tiles": binning.overflow_tiles,
+        "tile_counts": binning.tile_counts,
+    }
+
+
+def sh_to_color(features_dc, features_rest, means3d, cam_center, active_sh_degree: int,
+                max_sh_degree: int):
+    """SH -> RGB with the 0-clamp of forward.cu:20-71 (computeColorFromSH).
+
+    features_dc (N,1,3), features_rest (N,K-1,3); returns (N,3).
+    The clamp's gradient-zeroing (the CUDA `clamped` bookkeeping) falls out of
+    jnp.maximum automatically.
+    """
+    sh = jnp.concatenate([features_dc, features_rest], axis=1)  # (N,K,3)
+    sh = jnp.swapaxes(sh, 1, 2)  # (N,3,K)
+    dirs = means3d - cam_center
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rgb = eval_sh(active_sh_degree, sh, dirs) + 0.5
+    return jnp.maximum(rgb, 0.0)
