@@ -1,0 +1,143 @@
+"""Configuration dataclasses + CLI plumbing.
+
+Field names and defaults mirror the reference flag surface exactly
+(arguments/__init__.py:55-125: ModelParams / OptimizationParams /
+GeneralParams) so command lines transfer 1:1. `cfg_args` persistence follows
+utils/system.py:41-54 / arguments/__init__.py:128-148.
+"""
+
+import dataclasses
+import os
+from argparse import ArgumentParser, Namespace
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    sh_degree: int = 0  # reference default 0 (arguments/__init__.py:60)
+    resolution: int = -1
+    data_device: str = "tpu"
+    eval: bool = False
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    # Common (arguments/__init__.py:72-111)
+    iterations: int = 30000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    scaling_lr: float = 0.005
+    feature_lr: float = 0.025
+    opacity_lr: float = 0.05
+    mask_lr: float = 0.01
+    lambda_dssim: float = 0.2
+    lambda_orientation: float = 100.0
+    lambda_mask: float = 0.01
+    pval: float = 0.05
+    bidirectional_eval: bool = True
+    # GS specific
+    rotation_lr: float = 0.001
+    # Hair-GS specific
+    lambda_smooth: float = 0.005
+    lambda_magnet: float = 0.0
+    bidirectional_merge: bool = False
+    num_points_strand: int = 80
+    merge_interval: int = 100
+    merge_dist_th_init: float = 2e-3
+    merge_dist_th_final: float = 4e-3
+    merge_angle_th_init: float = 20.0
+    merge_angle_th_final: float = 40.0
+    growth_interval: int = 100000
+    growth_averaging_points: int = 3
+    # Densification
+    percent_dense: float = 0.01
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 27000  # iterations * 0.9
+    densification_interval: int = 100
+    prune_max_radii_2d: int = 1000
+    densify_grad_threshold: float = 0.0002
+
+
+@dataclasses.dataclass
+class GeneralConfig:
+    quiet: bool = False
+    logger: str = "tensorboard"
+    ip: str = "127.0.0.1"
+    port: int = 6009
+    vis2d: bool = False
+    update_vis2d_frequency: int = 30000
+    vis3d: bool = False
+    save_frequency: int = 5000
+    eval_frequency: int = 30000
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """TPU-specific knobs with no reference equivalent."""
+
+    view_batch: int = 1  # cameras per step, sharded over the mesh data axis
+    mesh_data_axis: int = 0  # 0 = use all local devices
+    max_tiles_per_gaussian: int = 32
+    max_pairs_per_tile: int = 1024
+    composite_chunk: int = 32
+    capacity_round: int = 4096  # arena capacity bucket size
+
+
+_SHORTHANDS = {"source_path": "s", "model_path": "m", "images": "i", "resolution": "r"}
+
+
+def add_config_args(parser: ArgumentParser, cls, defaults=None) -> None:
+    inst = defaults if defaults is not None else cls()
+    for f in dataclasses.fields(cls):
+        value = getattr(inst, f.name)
+        names = ["--" + f.name]
+        if f.name in _SHORTHANDS:
+            names.append("-" + _SHORTHANDS[f.name])
+        if f.type is bool or isinstance(value, bool):
+            parser.add_argument(*names, default=value, action="store_true")
+        else:
+            parser.add_argument(*names, default=value, type=type(value))
+
+
+def extract_config(args: Namespace, cls):
+    kwargs = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(cls)
+        if hasattr(args, f.name)
+    }
+    return cls(**kwargs)
+
+
+def save_cfg_args(model_path: str, args: Namespace) -> None:
+    """Persist flags as a Namespace repr, reference utils/system.py:53-54."""
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args"), "w") as f:
+        f.write(repr(args))
+
+
+def load_cfg_args(model_path: str) -> Optional[Namespace]:
+    path = os.path.join(model_path, "cfg_args")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        text = f.read()
+    return eval(text, {"Namespace": Namespace})  # noqa: S307 - same as reference
+
+
+def get_combined_args(parser: ArgumentParser, argv=None) -> Namespace:
+    """Merge stored cfg_args with CLI overrides (arguments/__init__.py:128-148)."""
+    args_cmdline = parser.parse_args(argv)
+    stored = None
+    if getattr(args_cmdline, "model_path", None):
+        stored = load_cfg_args(args_cmdline.model_path)
+    merged = vars(stored).copy() if stored is not None else {}
+    for k, v in vars(args_cmdline).items():
+        if v is not None:
+            merged[k] = v
+    return Namespace(**merged)

@@ -13,7 +13,7 @@ def build_rotation(q):
 
     Matches reference utils/transform.py:7-30.
     """
-    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    norm = jnp.maximum(jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), 1e-12)
     q = q / norm
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(

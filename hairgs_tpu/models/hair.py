@@ -1,0 +1,255 @@
+"""Stage-II/III strand-graph model (HairGS) on capacity-padded arenas.
+
+Parity target: reference scene/hair_gaussian_model.py — learnable endpoints
+(E,3) plus an integer segment graph endpoint_pairs (S,2); per-segment
+features/opacity/mask/width. All Gaussian parameters are *derived* from the
+endpoints (l.134-201): scaling from segment length + width, rotation aligning
+x-axis to the segment, xyz = midpoint, orientation = normalized direction —
+in JAX these are just pure functions and jax.grad differentiates through them
+for free (the reference relies on torch autograd the same way).
+
+Topology ops (split/clone/merge/collapse/prune/grow, l.788-1203) run
+host-side between jitted steps, mirroring reference semantics; see
+hairgs_tpu/topo/.
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hairgs_tpu.core.maths import MIN_VAL, pval_to_dist_to_scale_factor
+from hairgs_tpu.core.transforms import quaternion_between_vectors
+from hairgs_tpu.models.gaussian import (
+    FG_BIN_TH,
+    OPACITY_TH,
+    GaussianStats,
+    _pad_to,
+    _round_capacity,
+)
+from hairgs_tpu.optim import AdamState, adam_init
+
+
+class HairParams(NamedTuple):
+    """Differentiable leaves. endpoints is (E,3); everything else (S,...)."""
+
+    endpoints: jnp.ndarray  # (E,3)
+    features_dc: jnp.ndarray  # (S,1,3)
+    features_rest: jnp.ndarray  # (S,K-1,3)
+    opacity: jnp.ndarray  # (S,1) logit
+    mask: jnp.ndarray  # (S,1) logit
+    width: jnp.ndarray  # (S,1) log
+
+
+class HairGraph(NamedTuple):
+    """Non-differentiable topology state (int arrays, padded)."""
+
+    endpoint_pairs: jnp.ndarray  # (S,2) int32
+    seg_active: jnp.ndarray  # (S,) bool
+    ep_active: jnp.ndarray  # (E,) bool
+
+
+def hair_derived(p: HairParams, graph: HairGraph, dist_to_scale_factor: float):
+    """Derived per-segment Gaussian parameters (hair_gaussian_model.py:134-201)."""
+    pairs = p.endpoints[graph.endpoint_pairs]  # (S,2,3)
+    diff = pairs[:, 1] - pairs[:, 0]
+    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    # scaling (l.134-145): x from half-length * factor, yz from width
+    scale_x = jnp.clip(norm / 2.0 * dist_to_scale_factor, MIN_VAL, None)
+    scale_yz = jnp.exp(jnp.repeat(p.width, 2, axis=1))
+    scaling = jnp.concatenate([scale_x, scale_yz], axis=1)
+    # rotation (l.147-165): align +x to the segment; identity for collapsed
+    valid = norm[:, 0] > MIN_VAL
+    v1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), diff.shape)
+    safe_diff = jnp.where(valid[:, None], diff, v1)
+    quat = quaternion_between_vectors(v1, safe_diff)
+    identity = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0]), quat.shape)
+    rotation = jnp.where(valid[:, None], quat, identity)
+    # xyz = midpoint (l.167-172)
+    xyz = jnp.mean(pairs, axis=1)
+    # orientation (l.188-201): normalized direction, +x for collapsed
+    direction = jnp.where(valid[:, None], diff / jnp.maximum(norm, MIN_VAL), v1)
+    return dict(xyz=xyz, scaling=scaling, rotation=rotation, orientation=direction)
+
+
+def hair_render_inputs(p: HairParams, graph: HairGraph, cam_center,
+                       active_sh_degree: int, dist_to_scale_factor: float):
+    """Fused multi-channel renderer inputs for the hair model."""
+    from hairgs_tpu.render.renderer import sh_to_color
+
+    d = hair_derived(p, graph, dist_to_scale_factor)
+    rgb = sh_to_color(p.features_dc, p.features_rest, d["xyz"], cam_center,
+                      active_sh_degree, 0)
+    mask_v = jax.nn.sigmoid(p.mask)
+    features = jnp.concatenate([rgb, mask_v, d["orientation"]], axis=-1)
+    return dict(
+        means3d=d["xyz"],
+        scales=d["scaling"],
+        rotations=d["rotation"],
+        opacity=jax.nn.sigmoid(p.opacity)[:, 0],
+        features=features,
+    )
+
+
+@dataclasses.dataclass
+class HairModel:
+    """Host-side wrapper around the padded hair arena.
+
+    Topology operations live in hairgs_tpu/topo/graph_ops.py and are invoked
+    through this wrapper; the jitted step consumes params/graph/stats directly.
+    """
+
+    sh_degree: int = 0
+    spatial_lr_scale: float = 1.0
+    capacity_round: int = 4096
+
+    params: Optional[HairParams] = None
+    graph: Optional[HairGraph] = None
+    stats: Optional[GaussianStats] = None
+    opt_state: Optional[AdamState] = None
+    num_endpoints: int = 0
+    num_segments: int = 0
+    active_sh_degree: int = 0
+    pval: float = 0.05
+    dist_to_scale_factor: float = pval_to_dist_to_scale_factor(0.05)
+    training_args: Optional[object] = None
+    ref_strand_root: Optional[np.ndarray] = None  # (R,3) scalp vertices
+    strand_root_endpoint_idx: Optional[np.ndarray] = None  # (n,) int
+    strands_info: Optional[object] = None
+    max_segment_length: float = 0.0
+    merge_dist_th: float = 2e-3
+    merge_angle_th: float = 20.0
+
+    @property
+    def max_sh_degree(self) -> int:
+        return self.sh_degree
+
+    def set_pval(self, pval: float):
+        self.pval = pval
+        self.dist_to_scale_factor = pval_to_dist_to_scale_factor(pval)
+
+    def set_dist_to_scale_factor(self, factor: float):
+        from hairgs_tpu.core.maths import dist_to_scale_factor_to_pval
+
+        self.dist_to_scale_factor = factor
+        self.pval = dist_to_scale_factor_to_pval(factor)
+
+    def oneup_sh_degree(self):
+        if self.active_sh_degree < self.max_sh_degree:
+            self.active_sh_degree += 1
+
+    # -- arena management ------------------------------------------------
+
+    def install(self, endpoints: np.ndarray, endpoint_pairs: np.ndarray,
+                seg_arrays: dict, moments: Optional[dict] = None, step: int = 0):
+        """Write host arrays into (re)padded device arenas.
+
+        seg_arrays: features_dc / features_rest / opacity / mask / width.
+        moments (optional): {"mu": {...}, "nu": {...}} including "endpoints".
+        """
+        ne = endpoints.shape[0]
+        ns = endpoint_pairs.shape[0]
+        cap_e = _round_capacity(ne, self.capacity_round)
+        cap_s = _round_capacity(ns, self.capacity_round)
+        self.params = HairParams(
+            endpoints=jnp.asarray(_pad_to(endpoints.astype(np.float32), cap_e)),
+            features_dc=jnp.asarray(_pad_to(seg_arrays["features_dc"].astype(np.float32), cap_s)),
+            features_rest=jnp.asarray(_pad_to(seg_arrays["features_rest"].astype(np.float32), cap_s)),
+            opacity=jnp.asarray(_pad_to(seg_arrays["opacity"].astype(np.float32), cap_s)),
+            mask=jnp.asarray(_pad_to(seg_arrays["mask"].astype(np.float32), cap_s)),
+            width=jnp.asarray(_pad_to(seg_arrays["width"].astype(np.float32), cap_s)),
+        )
+        pairs = _pad_to(endpoint_pairs.astype(np.int32), cap_s)
+        self.graph = HairGraph(
+            endpoint_pairs=jnp.asarray(pairs),
+            seg_active=jnp.arange(cap_s) < ns,
+            ep_active=jnp.arange(cap_e) < ne,
+        )
+        self.num_endpoints = ne
+        self.num_segments = ns
+        self.stats = GaussianStats(
+            max_radii2d=jnp.zeros((cap_s,), jnp.float32),
+            xyz_grad_accum=jnp.zeros((cap_s, 1), jnp.float32),
+            denom=jnp.zeros((cap_s, 1), jnp.float32),
+        )
+        if moments is None:
+            self.opt_state = adam_init(self.params)
+        else:
+            def mk(kind):
+                m = moments[kind]
+                return HairParams(
+                    endpoints=jnp.asarray(_pad_to(m["endpoints"], cap_e)),
+                    features_dc=jnp.asarray(_pad_to(m["features_dc"], cap_s)),
+                    features_rest=jnp.asarray(_pad_to(m["features_rest"], cap_s)),
+                    opacity=jnp.asarray(_pad_to(m["opacity"], cap_s)),
+                    mask=jnp.asarray(_pad_to(m["mask"], cap_s)),
+                    width=jnp.asarray(_pad_to(m["width"], cap_s)),
+                )
+
+            self.opt_state = AdamState(mu=mk("mu"), nu=mk("nu"),
+                                       step=jnp.asarray(step, jnp.int32))
+
+    def host_arrays(self):
+        e, s = self.num_endpoints, self.num_segments
+        p = self.params
+        return dict(
+            endpoints=np.array(np.asarray(p.endpoints)[:e]),
+            endpoint_pairs=np.array(np.asarray(self.graph.endpoint_pairs)[:s]),
+            features_dc=np.array(np.asarray(p.features_dc)[:s]),
+            features_rest=np.array(np.asarray(p.features_rest)[:s]),
+            opacity=np.array(np.asarray(p.opacity)[:s]),
+            mask=np.array(np.asarray(p.mask)[:s]),
+            width=np.array(np.asarray(p.width)[:s]),
+        )
+
+    def host_moments(self):
+        e, s = self.num_endpoints, self.num_segments
+        def view(tree):
+            d = tree._asdict()
+            return {k: np.array(np.asarray(v)[: (e if k == "endpoints" else s)]) for k, v in d.items()}
+
+        return {"mu": view(self.opt_state.mu), "nu": view(self.opt_state.nu)}
+
+    def np_opacity(self, arrays):
+        return 1.0 / (1.0 + np.exp(-arrays["opacity"]))
+
+    def np_mask(self, arrays):
+        return 1.0 / (1.0 + np.exp(-arrays["mask"]))
+
+    def np_scaling(self, arrays):
+        """Derived per-segment scaling, numpy mirror of hair_derived."""
+        pairs = arrays["endpoints"][arrays["endpoint_pairs"]]
+        norm = np.linalg.norm(pairs[:, 1] - pairs[:, 0], axis=-1, keepdims=True)
+        scale_x = np.clip(norm / 2.0 * self.dist_to_scale_factor, MIN_VAL, None)
+        scale_yz = np.exp(np.repeat(arrays["width"], 2, axis=1))
+        return np.concatenate([scale_x, scale_yz], axis=1)
+
+    def compute_foreground_mask_np(self, arrays=None):
+        if arrays is None:
+            arrays = self.host_arrays()
+        return (self.np_opacity(arrays)[:, 0] >= OPACITY_TH) & (
+            self.np_mask(arrays)[:, 0] >= FG_BIN_TH
+        )
+
+    def training_setup(self, training_args):
+        """hair_gaussian_model.py:212-283 — schedules + max segment length
+        from the foreground bounding box."""
+        self.training_args = training_args
+        self.set_pval(training_args.pval)
+        self.merge_dist_th = training_args.merge_dist_th_init
+        self.merge_angle_th = training_args.merge_angle_th_init
+        arrays = self.host_arrays()
+        fg = self.compute_foreground_mask_np(arrays)
+        ep_mask = np.zeros(arrays["endpoints"].shape[0], dtype=bool)
+        if fg.any():
+            ep_mask[arrays["endpoint_pairs"][fg].ravel()] = True
+        else:
+            ep_mask[:] = True
+        pts = arrays["endpoints"][ep_mask]
+        if pts.shape[0] > 0:
+            extent = np.linalg.norm(pts.max(axis=0) - pts.min(axis=0))
+            self.max_segment_length = float(extent) / training_args.num_points_strand
+        if self.opt_state is None and self.params is not None:
+            self.opt_state = adam_init(self.params)

@@ -164,8 +164,8 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, res, cts):
         use = live & ok
         dalpha = jnp.where(use, t_excl * fdotg - B / (1.0 - alpha), 0.0)
 
-        d_opa = jnp.sum(G * dalpha, axis=2)  # dL/d opacity (NT,CH)
-        dpower = opa_c[:, :, None] * G * dalpha
+        d_opa = jnp.sum(jnp.where(use, G * dalpha, 0.0), axis=2)  # dL/d opacity
+        dpower = jnp.where(use, opa_c[:, :, None] * G * dalpha, 0.0)
         d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=2)
         d_b = jnp.sum(dpower * (-dx * dy), axis=2)
         d_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=2)

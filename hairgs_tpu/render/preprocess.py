@@ -144,6 +144,12 @@ def preprocess(
     tiles_touched = jnp.where(valid, tiles_touched, 0)
     radius = jnp.where(valid, radius, 0.0)
 
+    # sanitize culled rows: inactive arena rows can carry degenerate inputs
+    # (zero quaternions etc.) whose NaN/Inf would otherwise leak through
+    # 0*NaN in the compositor and its VJP
+    conic = jnp.where(valid[..., None], conic, 0.0)
+    xy = jnp.where(valid[..., None], xy, 0.0)
+
     rect = jnp.stack([rxmin, rymin, rxmax, rymax], axis=-1)
     return Preprocessed(
         valid=valid,

@@ -97,11 +97,14 @@ def render(
     )
 
     gid = binning.gather_idx  # (NT, K)
+    pv = binning.pair_valid
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
-    xy_g = prep.xy[gid]
-    con_g = prep.conic[gid]
-    opa_g = jnp.where(binning.pair_valid, opa_eff[gid], 0.0)
-    feat_g = features[gid]
+    # zero every invalid slot: clamped gather indices may alias rows whose
+    # (inactive) attributes are NaN — 0*NaN would poison forward and VJP
+    xy_g = jnp.where(pv[..., None], prep.xy[gid], 0.0)
+    con_g = jnp.where(pv[..., None], prep.conic[gid], 0.0)
+    opa_g = jnp.where(pv, opa_eff[gid], 0.0)
+    feat_g = jnp.where(pv[..., None], features[gid], 0.0)
 
     tiles, trans_tiles = composite(
         xy_g, con_g, opa_g, feat_g, grid_w, grid_h, ts, config.chunk
