@@ -359,7 +359,65 @@ class GaussianModel:
                       step=int(self.opt_state.step))
         return info
 
+    # -- checkpoint I/O --------------------------------------------------
+
+    def save_ply(self, path: str):
+        from hairgs_tpu.io.ply import save_gaussian_ply
+
+        save_gaussian_ply(path, self.host_arrays())
+
+    def load_ply(self, path: str):
+        from hairgs_tpu.io.ply import load_gaussian_ply
+
+        arrays = load_gaussian_ply(path, self.max_sh_degree)
+        self._install(arrays, arrays["xyz"].shape[0])
+        self.active_sh_degree = self.max_sh_degree
+
     # -- conversion ------------------------------------------------------
+
+    def to_hair_model(self, ref_strand_root: np.ndarray):
+        """Convert to a HairModel: each Gaussian becomes a disconnected line
+        segment (scene/gaussian_model.py:797-859). Width = mean of the two
+        minor scales (log space); endpoint_pairs = [(i, i+N)]."""
+        from hairgs_tpu.models.hair import HairModel
+        from hairgs_tpu.topo.strands import update_strand_root, compute_strands_info
+
+        arrays = self.host_arrays()
+        n = arrays["xyz"].shape[0]
+        endpoints2 = self.get_segment_endpoints_np(arrays)  # (N,2,3)
+        endpoints = np.concatenate([endpoints2[:, 0], endpoints2[:, 1]], axis=0)
+        scale = self.np_scaling(arrays)
+        axis_idx = np.argmax(scale, axis=1)
+        other = np.ones_like(scale)
+        other[np.arange(n), axis_idx] = 0
+        width = np.mean(scale * other, axis=1, keepdims=True)
+        width = np.log(np.maximum(width, 1e-12)).astype(np.float32)
+        pairs = np.stack([np.arange(n), np.arange(n) + n], axis=1).astype(np.int32)
+
+        hair = HairModel(
+            sh_degree=self.max_sh_degree,
+            spatial_lr_scale=self.spatial_lr_scale,
+            capacity_round=self.capacity_round,
+        )
+        hair.set_dist_to_scale_factor(float(self.dist_to_scale_factor))
+        hair.active_sh_degree = self.active_sh_degree
+        hair.install(
+            endpoints,
+            pairs,
+            dict(
+                features_dc=arrays["features_dc"],
+                features_rest=arrays["features_rest"],
+                opacity=arrays["opacity"],
+                mask=arrays["mask"],
+                width=width,
+            ),
+        )
+        hair.ref_strand_root = ref_strand_root
+        update_strand_root(hair)
+        compute_strands_info(hair)
+        if self.training_args is not None:
+            hair.training_setup(self.training_args)
+        return hair
 
     def get_segment_endpoints_np(self, arrays=None) -> np.ndarray:
         """(N,2,3) endpoints mu +- R (argmax-scale axis * sigma / factor);

@@ -233,6 +233,33 @@ class HairModel:
             self.np_mask(arrays)[:, 0] >= FG_BIN_TH
         )
 
+    # -- checkpoint I/O --------------------------------------------------
+
+    def save_ply(self, path: str):
+        from hairgs_tpu.io.ply import save_hair_ply
+
+        arrays = self.host_arrays()
+        root_idx = (
+            self.strand_root_endpoint_idx
+            if self.strand_root_endpoint_idx is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+        ref = self.ref_strand_root if self.ref_strand_root is not None else np.zeros((0, 3))
+        save_hair_ply(path, arrays, np.asarray(root_idx), np.asarray(ref))
+
+    def load_ply(self, path: str):
+        from hairgs_tpu.io.ply import load_hair_ply
+        from hairgs_tpu.topo.strands import compute_strands_info
+
+        arrays, root_idx, ref_root = load_hair_ply(path, self.max_sh_degree)
+        endpoints = arrays.pop("endpoints")
+        pairs = arrays.pop("endpoint_pairs")
+        self.install(endpoints, pairs, arrays)
+        self.active_sh_degree = self.max_sh_degree
+        self.strand_root_endpoint_idx = root_idx
+        self.ref_strand_root = ref_root
+        compute_strands_info(self)
+
     def training_setup(self, training_args):
         """hair_gaussian_model.py:212-283 — schedules + max segment length
         from the foreground bounding box."""

@@ -1,0 +1,256 @@
+import dataclasses
+import numpy as np
+import pytest
+
+from hairgs_tpu.config import OptimizationConfig
+from hairgs_tpu.models.hair import HairModel
+from hairgs_tpu.models.gaussian import GaussianModel
+from hairgs_tpu.topo.strands import (
+    compute_strands_info,
+    update_strand_root,
+    smooth_pair_indices,
+    _walk_strands_np,
+)
+from hairgs_tpu.topo.graph_ops import (
+    HairHostState,
+    hair_densification,
+    hair_merging,
+    hair_growing,
+    hair_reset_opacity,
+)
+from hairgs_tpu.topo.merge import compute_endpoint_pair_to_merge, stage2_merge_loop
+
+
+def inv_sig(x):
+    return float(np.log(x / (1 - x)))
+
+
+def make_hair_model(endpoints, pairs, opacity=0.5, mask=0.9, width=1e-4,
+                    ref_root=None, cfg=None):
+    ns = pairs.shape[0]
+    m = HairModel(sh_degree=0, capacity_round=64)
+    seg = dict(
+        features_dc=np.zeros((ns, 1, 3), np.float32),
+        features_rest=np.zeros((ns, 0, 3), np.float32),
+        opacity=np.full((ns, 1), inv_sig(opacity), np.float32),
+        mask=np.full((ns, 1), inv_sig(mask), np.float32),
+        width=np.full((ns, 1), np.log(width), np.float32),
+    )
+    m.install(np.asarray(endpoints, np.float32), np.asarray(pairs, np.int64), seg)
+    m.ref_strand_root = (
+        np.asarray(ref_root, np.float32) if ref_root is not None
+        else np.asarray([[0.0, 0.0, 0.0]], np.float32)
+    )
+    update_strand_root(m)
+    m.training_setup(cfg or OptimizationConfig())
+    compute_strands_info(m)
+    return m
+
+
+def two_strands():
+    """Strand A: (0,0,0)-(0.01,0,0)-(0.02,0,0); strand B colinear further out."""
+    eps = np.asarray(
+        [
+            [0, 0, 0], [0.01, 0, 0], [0.02, 0, 0],
+            [0.021, 0, 0], [0.031, 0, 0], [0.041, 0, 0],
+        ],
+        np.float32,
+    )
+    pairs = np.asarray([[0, 1], [1, 2], [3, 4], [4, 5]], np.int64)
+    return eps, pairs
+
+
+class TestStrandsInfo:
+    def test_basic_walk(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        info = m.strands_info
+        assert len(info.list_strands) == 2
+        # both strands oriented with the end nearest the origin first
+        s0 = info.list_strands[0]
+        np.testing.assert_array_equal(s0, [[0, 1], [1, 2]])
+        s1 = info.list_strands[1]
+        np.testing.assert_array_equal(s1, [[3, 4], [4, 5]])
+        assert info.strand_endpoint_id_to_complementary[0] == 2
+        assert info.strand_endpoint_id_to_complementary[2] == 0
+
+    def test_flip_by_root_distance(self):
+        eps, pairs = two_strands()
+        # reference root near the FAR end -> strands flipped
+        m = make_hair_model(eps, pairs, ref_root=[[0.1, 0, 0]])
+        s0 = m.strands_info.list_strands[0]
+        np.testing.assert_array_equal(s0, [[2, 1], [1, 0]])
+
+    def test_background_excluded(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs, mask=0.1)  # below FG_BIN_TH
+        info = compute_strands_info(m, only_foreground=True)
+        assert len(info.list_strands) == 0
+
+    def test_smooth_pairs(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        sp, valid = smooth_pair_indices(m.strands_info)
+        assert valid.sum() == 2  # one consecutive pair per strand
+        np.testing.assert_array_equal(sp[0], [[0, 1], [1, 2]])
+
+    def test_update_strand_root(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs, ref_root=[[0, 0, 0]])
+        assert 0 in m.strand_root_endpoint_idx
+
+
+class TestMerge:
+    def test_candidates_found_colinear(self):
+        eps, pairs = two_strands()
+        cfg = OptimizationConfig()
+        m = make_hair_model(eps, pairs, cfg=cfg)
+        # tip of A (id 2) and root of B (id 3) are 1mm apart, directions
+        # anti-aligned -> mergeable
+        cand = compute_endpoint_pair_to_merge(m)
+        assert cand.shape[0] == 1
+        assert set(cand[0].tolist()) == {2, 3}
+
+    def test_no_candidates_when_far(self):
+        eps, pairs = two_strands()
+        eps = eps.copy()
+        eps[3:] += np.asarray([0.1, 0, 0])  # move strand B far away
+        m = make_hair_model(eps, pairs)
+        assert compute_endpoint_pair_to_merge(m).shape[0] == 0
+
+    def test_no_candidates_when_misaligned(self):
+        eps, pairs = two_strands()
+        eps = eps.copy()
+        # strand B perpendicular: bends 90deg relative to A
+        eps[4] = [0.021, 0.01, 0]
+        eps[5] = [0.021, 0.02, 0]
+        m = make_hair_model(eps, pairs)
+        assert compute_endpoint_pair_to_merge(m).shape[0] == 0
+
+    def test_merge_joins_strands(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        n = hair_merging(m)
+        assert n == 1
+        info = m.strands_info
+        assert len(info.list_strands) == 1
+        assert info.list_strands[0].shape[0] == 4  # 4 segments after weld
+        # merged joint at midpoint of old ids 2,3
+        arrays = m.host_arrays()
+        dists = np.linalg.norm(arrays["endpoints"] - np.asarray([0.0205, 0, 0]), axis=1)
+        assert dists.min() < 1e-6
+
+    def test_stage2_loop_converges(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        iters = stage2_merge_loop(m, max_iterations=100)
+        assert iters >= 1
+        assert compute_endpoint_pair_to_merge(m).shape[0] == 0
+
+
+class TestDensification:
+    def test_split_long_segment(self):
+        # one very long segment (longer than max_segment_length)
+        eps = np.asarray([[0, 0, 0], [1.0, 0, 0]], np.float32)
+        pairs = np.asarray([[0, 1]], np.int64)
+        m = make_hair_model(eps, pairs)
+        assert m.max_segment_length < 1.0
+        info = hair_densification(m, extent=1.0, max_screen_size=None)
+        assert info["split"] == 1
+        assert m.num_segments == 2
+        arrays = m.host_arrays()
+        # midpoint inserted
+        mid = np.linalg.norm(arrays["endpoints"] - np.asarray([0.5, 0, 0]), axis=1)
+        assert mid.min() < 1e-6
+        # still one connected strand
+        assert len(m.strands_info.list_strands) == 1
+
+    def test_prune_transparent(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs, opacity=0.001)  # below opacity_th
+        info = hair_densification(m, extent=1.0, max_screen_size=None)
+        assert info["prune_total"] > 0
+
+    def test_weld_collapsed(self):
+        # middle segment collapsed to a point between two good segments
+        eps = np.asarray(
+            [[0, 0, 0], [0.01, 0, 0], [0.01, 0, 0], [0.02, 0, 0]], np.float32
+        )
+        pairs = np.asarray([[0, 1], [1, 2], [2, 3]], np.int64)
+        # num_points_strand=1 keeps max_segment_length above the segment
+        # lengths so the split strategy stays quiet in this test
+        cfg = dataclasses.replace(OptimizationConfig(), num_points_strand=1)
+        m = make_hair_model(eps, pairs, cfg=cfg)
+        info = hair_densification(m, extent=1.0, max_screen_size=None)
+        assert info["merge_collapsed"] == 1
+        assert m.num_segments == 2
+        assert len(m.strands_info.list_strands) == 1
+
+    def test_reset_opacity(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs, opacity=0.7)
+        hair_reset_opacity(m)
+        st = HairHostState(m)
+        np.testing.assert_allclose(st.opacity_act(), 0.01, rtol=1e-4)
+
+
+class TestGrowing:
+    def test_tip_extension(self):
+        eps, pairs = two_strands()
+        cfg = OptimizationConfig()
+        m = make_hair_model(eps, pairs, cfg=cfg)
+        before = m.num_segments
+        grown = hair_growing(m, growth_length=0.002)
+        assert grown == 2  # both strands below num_points_strand
+        assert m.num_segments == before + 2
+        # new tip of strand A extends along +x from (0.02,0,0)
+        arrays = m.host_arrays()
+        d = np.linalg.norm(arrays["endpoints"] - np.asarray([0.022, 0, 0]), axis=1)
+        assert d.min() < 1e-6
+
+
+class TestConversion:
+    def test_gaussian_to_hair(self):
+        rng = np.random.default_rng(0)
+        n = 20
+        pts = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+        colors = rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+        g = GaussianModel(sh_degree=0, capacity_round=64)
+        g.create_from_pcd(pts, colors)
+        g.training_setup(OptimizationConfig())
+        hair = g.to_hair_model(ref_strand_root=np.asarray([[0, 0, 0]], np.float32))
+        assert hair.num_segments == n
+        assert hair.num_endpoints == 2 * n
+        arrays = hair.host_arrays()
+        # each segment is disconnected: [(i, i+n)]
+        np.testing.assert_array_equal(
+            arrays["endpoint_pairs"],
+            np.stack([np.arange(n), np.arange(n) + n], axis=1),
+        )
+        # endpoint midpoint equals original center
+        mids = arrays["endpoints"][arrays["endpoint_pairs"]].mean(axis=1)
+        np.testing.assert_allclose(mids, pts, atol=1e-5)
+        # derived segment length maps back to the principal scale via pval
+        seg_len = np.linalg.norm(
+            arrays["endpoints"][arrays["endpoint_pairs"][:, 1]]
+            - arrays["endpoints"][arrays["endpoint_pairs"][:, 0]],
+            axis=1,
+        )
+        scale_max = np.exp(np.asarray(g.params.scaling)[:n]).max(axis=1)
+        np.testing.assert_allclose(
+            seg_len, 2 * scale_max / g.dist_to_scale_factor, rtol=1e-4
+        )
+
+    def test_hair_ply_roundtrip_preserves_strands(self, tmp_path):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        p = str(tmp_path / "h.ply")
+        m.save_ply(p)
+        m2 = HairModel(sh_degree=0, capacity_round=64)
+        m2.load_ply(p)
+        assert m2.num_segments == m.num_segments
+        assert len(m2.strands_info.list_strands) == 2
+        a1 = m.host_arrays()
+        a2 = m2.host_arrays()
+        np.testing.assert_allclose(a1["endpoints"], a2["endpoints"])
+        np.testing.assert_array_equal(a1["endpoint_pairs"], a2["endpoint_pairs"])
