@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Standalone evaluation: GT npz vs a prediction file.
+
+Parity target: reference eval.py:13-59 (which is broken as shipped — it
+unpacks a `return_table` result that loss/metrics.py never implemented; the
+intended table output is implemented here).
+"""
+
+import sys
+from argparse import ArgumentParser
+
+from hairgs_tpu.evaluation.eval_data import eval_data_loading_callbacks
+from hairgs_tpu.evaluation.metrics import compute_metrics
+
+
+def main():
+    parser = ArgumentParser(description="Evaluation parameters")
+    parser.add_argument("--source_path", "-s", required=True,
+                        help="dataset path containing hair_eval_data.npz")
+    parser.add_argument("--prediction_path", "-p", required=True)
+    parser.add_argument("--prediction_type", "-pt", default="gs",
+                        choices=sorted(eval_data_loading_callbacks.keys()))
+    parser.add_argument("--bidirectional", action="store_true", default=True)
+    parser.add_argument("--sh_degree", type=int, default=0)
+    args = parser.parse_args(sys.argv[1:])
+
+    import os
+
+    gt = eval_data_loading_callbacks["gt"](
+        os.path.join(args.source_path, "hair_eval_data.npz")
+    )
+    loader = eval_data_loading_callbacks[args.prediction_type]
+    if args.prediction_type == "gs":
+        pred = loader(args.prediction_path, sh_degree=args.sh_degree)
+    else:
+        pred = loader(args.prediction_path)
+
+    metrics, thresholds, table = compute_metrics(
+        pred=pred, gt=gt, bidirectional=args.bidirectional, return_table=True
+    )
+    print(table)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,16 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1 - x))
 
 
+def safe_norm(x, axis=-1, keepdims=False, eps=1e-24):
+    """L2 norm with a zero subgradient at 0 (torch.norm semantics).
+
+    jnp.linalg.norm's gradient at the origin is NaN, which poisons losses via
+    0*NaN even where the result is masked out; sqrt(sum(x^2)+eps) has zero
+    gradient there instead — matching what torch gives the reference.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def normal_icdf(q):
     """Standard normal inverse CDF."""
     return math.sqrt(2.0) * float(erfinv(2.0 * q - 1.0))

@@ -13,7 +13,9 @@ def build_rotation(q):
 
     Matches reference utils/transform.py:7-30.
     """
-    norm = jnp.maximum(jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), 1e-12)
+    # +eps inside the sqrt keeps the gradient finite (zero) for zero quats
+    # (padding rows of the arena); normal quats are unaffected
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     q = q / norm
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(

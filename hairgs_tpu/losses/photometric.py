@@ -15,7 +15,7 @@ training makes this numerically identical).
 
 import jax.numpy as jnp
 
-from hairgs_tpu.core.maths import MIN_VAL
+from hairgs_tpu.core.maths import MIN_VAL, safe_norm
 from hairgs_tpu.models.gaussian import MASK, ORIENT, RGB
 from hairgs_tpu.ops.ssim import ssim
 
@@ -56,7 +56,7 @@ def orientation_loss_from_channels(orient_world, camera):
     """
     o_view = orient_world @ camera.world_view[:3, :3].T  # world -> view rotation
     xy = o_view[..., :2]
-    norm = jnp.linalg.norm(xy, axis=-1, keepdims=True)
+    norm = safe_norm(xy, axis=-1, keepdims=True)
     xy = xy / (norm + MIN_VAL)
     x = xy[..., 0]
     y = xy[..., 1]

@@ -16,7 +16,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from hairgs_tpu.core.maths import MIN_VAL
+from hairgs_tpu.core.maths import MIN_VAL, safe_norm
 
 
 def angle_smoothness_loss(endpoints, pair_indices, pair_valid, threshold_deg: float = 30.0,
@@ -30,7 +30,7 @@ def angle_smoothness_loss(endpoints, pair_indices, pair_valid, threshold_deg: fl
     angle_sim_th = math.cos(math.radians(threshold_deg))
     pos = endpoints[pair_indices]  # (M,2,2,3)
     dirs = pos[:, :, 1] - pos[:, :, 0]  # (M,2,3)
-    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    norm = safe_norm(dirs, axis=-1, keepdims=True)
     dirs = dirs / jnp.maximum(norm, MIN_VAL)
     dots = jnp.sum(dirs[:, 0] * dirs[:, 1], axis=-1)  # (M,)
     sel = pair_valid & (dots <= angle_sim_th)

@@ -56,8 +56,10 @@ class GaussianStats(NamedTuple):
 
 
 def gaussian_activations(p: GaussianParams):
-    # norm guarded so zero-initialized padding rows don't produce NaN
-    qnorm = jnp.maximum(jnp.linalg.norm(p.rotation, axis=-1, keepdims=True), 1e-12)
+    from hairgs_tpu.core.maths import safe_norm
+
+    # safe norm: zero-initialized padding rows get zero (not NaN) gradients
+    qnorm = jnp.maximum(safe_norm(p.rotation, axis=-1, keepdims=True), 1e-12)
     return {
         "scaling": jnp.exp(p.scaling),
         "rotation": p.rotation / qnorm,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hairgs_tpu.core.maths import MIN_VAL, pval_to_dist_to_scale_factor
+from hairgs_tpu.core.maths import MIN_VAL, pval_to_dist_to_scale_factor, safe_norm
 from hairgs_tpu.core.transforms import quaternion_between_vectors
 from hairgs_tpu.models.gaussian import (
     FG_BIN_TH,
@@ -55,7 +55,7 @@ def hair_derived(p: HairParams, graph: HairGraph, dist_to_scale_factor: float):
     """Derived per-segment Gaussian parameters (hair_gaussian_model.py:134-201)."""
     pairs = p.endpoints[graph.endpoint_pairs]  # (S,2,3)
     diff = pairs[:, 1] - pairs[:, 0]
-    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    norm = safe_norm(diff, axis=-1, keepdims=True)
     # scaling (l.134-145): x from half-length * factor, yz from width
     scale_x = jnp.clip(norm / 2.0 * dist_to_scale_factor, MIN_VAL, None)
     scale_yz = jnp.exp(jnp.repeat(p.width, 2, axis=1))

@@ -134,9 +134,11 @@ def sh_to_color(features_dc, features_rest, means3d, cam_center, active_sh_degre
     The clamp's gradient-zeroing (the CUDA `clamped` bookkeeping) falls out of
     jnp.maximum automatically.
     """
+    from hairgs_tpu.core.maths import safe_norm
+
     sh = jnp.concatenate([features_dc, features_rest], axis=1)  # (N,K,3)
     sh = jnp.swapaxes(sh, 1, 2)  # (N,3,K)
     dirs = means3d - cam_center
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs / safe_norm(dirs, axis=-1, keepdims=True)
     rgb = eval_sh(active_sh_degree, sh, dirs) + 0.5
     return jnp.maximum(rgb, 0.0)

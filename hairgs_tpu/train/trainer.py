@@ -76,26 +76,108 @@ def _update_stats(stats: GaussianStats, radii, offset_grad, active):
     return GaussianStats(max_radii2d=max_radii2d, xyz_grad_accum=xyz_grad_accum, denom=denom)
 
 
-def _render_and_loss(render_inputs, camera, active, offset, opt_cfg, raster_cfg,
-                     width, height, extra_losses=None):
-    out = render(
-        camera,
-        **render_inputs,
-        active=active,
-        mean2d_offset=offset,
-        width=width,
-        height=height,
-        config=raster_cfg,
+def _photometric_loss(channels, camera, opt_cfg):
+    """The l1 + D-SSIM part only — this is what drives densification stats in
+    the reference (train.py:173-177 reads the grad of the *first* render's
+    screenspace tensor; the mask/orientation re-renders have their own,
+    discarded, screenspace tensors)."""
+    from hairgs_tpu.losses.photometric import l1_loss
+    from hairgs_tpu.ops.ssim import ssim
+
+    image = channels[..., :3]
+    l1 = l1_loss(image, camera.image)
+    dssim = 1.0 - ssim(image, camera.image)
+    loss = max(0.0, 1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * dssim
+    return loss, {"l1": l1, "dssim": dssim}
+
+
+def _auxiliary_loss(channels, camera, opt_cfg):
+    """Mask + orientation terms on the fused channels."""
+    from hairgs_tpu.losses.photometric import (
+        mask_loss_from_channel,
+        orientation_loss_from_channels,
     )
-    loss, loss_dict = compute_losses(out["render"], camera, opt_cfg, extra_losses)
+    from hairgs_tpu.models.gaussian import MASK, ORIENT
+
+    loss = jnp.zeros(())
+    loss_dict = {}
+    if opt_cfg.lambda_mask > 0 and camera.mask is not None:
+        loss_dict["mask"] = mask_loss_from_channel(channels[..., MASK], camera.mask)
+        loss = loss + opt_cfg.lambda_mask * loss_dict["mask"]
+    if opt_cfg.lambda_orientation > 0 and camera.orientation is not None:
+        loss_dict["orientation"] = orientation_loss_from_channels(
+            channels[..., ORIENT], camera
+        )
+        loss = loss + opt_cfg.lambda_orientation * loss_dict["orientation"]
+    return loss, loss_dict
+
+
+def render_loss_and_grads(render_inputs_fn, params, camera, active, opt_cfg,
+                          raster_cfg, width, height):
+    """One fused forward; two cotangent pulls through the shared VJP.
+
+    The render runs ONCE (vs 3x in the reference); its linear VJP is applied
+    twice: with the total-loss cotangent for parameter gradients and with the
+    photometric-only cotangent for the viewspace densification statistics
+    (matching reference semantics where stats come from the rgb render only).
+    Returns (loss, param_grads, offset_grad, aux).
+    """
+    offset0 = jnp.zeros((active.shape[0], 2), dtype=jnp.float32)
+
+    def channels_fn(p, offset):
+        inputs = render_inputs_fn(p)
+        out = render(
+            camera, **inputs, active=active, mean2d_offset=offset,
+            width=width, height=height, config=raster_cfg,
+        )
+        aux = dict(
+            radii=out["radii"],
+            overflow_pairs=out["overflow_pairs"],
+            overflow_tiles=out["overflow_tiles"],
+        )
+        return out["render"], aux
+
+    channels, vjp_fn, aux = jax.vjp(channels_fn, params, offset0, has_aux=True)
+    (photo_loss, photo_parts), g_photo = jax.value_and_grad(
+        lambda ch: _photometric_loss(ch, camera, opt_cfg), has_aux=True
+    )(channels)
+    (aux_loss, aux_parts), g_aux = jax.value_and_grad(
+        lambda ch: _auxiliary_loss(ch, camera, opt_cfg), has_aux=True
+    )(channels)
+    param_grads, _ = vjp_fn(g_photo + g_aux)
+    _, offset_grad = vjp_fn(g_photo)
+    loss = photo_loss + aux_loss
     aux = dict(
-        loss_dict=loss_dict,
-        radii=out["radii"],
-        overflow_pairs=out["overflow_pairs"],
-        overflow_tiles=out["overflow_tiles"],
-        image=out["render"][..., :3],
+        loss_dict={**photo_parts, **aux_parts},
+        radii=aux["radii"],
+        overflow_pairs=aux["overflow_pairs"],
+        overflow_tiles=aux["overflow_tiles"],
+        image=channels[..., :3],
     )
-    return loss, aux
+    return loss, param_grads, offset_grad, aux
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _per_view(fn, camera):
+    """Run fn over a single camera or vmap over a view batch, averaging
+    gradients/losses (batch axis is shardable across the device mesh)."""
+    if camera.world_view.ndim == 3:
+        losses, grads, offset_grads, auxes = jax.vmap(fn)(camera)
+        loss = jnp.mean(losses)
+        grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads)
+        offset_grad = jnp.mean(offset_grads, axis=0)
+        aux = dict(
+            loss_dict=jax.tree.map(jnp.mean, auxes["loss_dict"]),
+            radii=jnp.max(auxes["radii"], axis=0),
+            overflow_pairs=jnp.sum(auxes["overflow_pairs"]),
+            overflow_tiles=jnp.sum(auxes["overflow_tiles"]),
+            image=auxes["image"][0],
+        )
+        return loss, grads, offset_grad, aux
+    return fn(camera)
 
 
 def make_gaussian_train_step(
@@ -110,36 +192,19 @@ def make_gaussian_train_step(
     """Build the jitted Stage-I train step.
 
     Signature: step_fn(params, stats, opt_state, active, camera, step)
-    -> (params, stats, opt_state, metrics). `camera` may be a single Camera
-    or a batched Camera (leading axis = view minibatch).
+    -> (params, stats, opt_state, metrics, image). `camera` may be a single
+    Camera or a batched Camera (leading axis = view minibatch).
     """
-
-    def loss_fn(params: GaussianParams, offset, active, camera):
-        inputs = gaussian_render_inputs(params, camera.cam_center, active_sh_degree)
-        return _render_and_loss(inputs, camera, active, offset, opt_cfg, raster_cfg,
-                                width, height)
-
-    def batched_loss(params, offset, active, camera):
-        if camera.world_view.ndim == 3:  # batched views
-            losses, auxes = jax.vmap(
-                lambda cam: loss_fn(params, offset, active, cam)
-            )(camera)
-            aux = dict(
-                loss_dict=jax.tree.map(jnp.mean, auxes["loss_dict"]),
-                radii=jnp.max(auxes["radii"], axis=0),
-                overflow_pairs=jnp.sum(auxes["overflow_pairs"]),
-                overflow_tiles=jnp.sum(auxes["overflow_tiles"]),
-                image=auxes["image"][0],
-            )
-            return jnp.mean(losses), aux
-        return loss_fn(params, offset, active, camera)
 
     @jax.jit
     def step_fn(params, stats, opt_state, active, camera, step):
-        offset = jnp.zeros((params.xyz.shape[0], 2), dtype=jnp.float32)
-        (loss, aux), (grads, offset_grad) = jax.value_and_grad(
-            batched_loss, argnums=(0, 1), has_aux=True
-        )(params, offset, active, camera)
+        def one_view(cam):
+            return render_loss_and_grads(
+                lambda p: gaussian_render_inputs(p, cam.cam_center, active_sh_degree),
+                params, cam, active, opt_cfg, raster_cfg, width, height,
+            )
+
+        loss, grads, offset_grad, aux = _per_view(one_view, camera)
         stats = _update_stats(stats, aux["radii"], offset_grad, active)
         lr_tree = gaussian_lr_tree(opt_cfg, step, spatial_lr_scale)
         params, opt_state = adam_step(params, grads, opt_state, lr_tree)
@@ -169,38 +234,30 @@ def make_hair_train_step(
     between topology changes, recomputed host-side after each).
     """
 
-    def loss_fn(params: HairParams, offset, graph, camera, smooth_pairs, smooth_valid):
-        inputs = hair_render_inputs(params, graph, camera.cam_center,
-                                    active_sh_degree, dist_to_scale_factor)
-        extra = {}
-        if use_smooth and opt_cfg.lambda_smooth > 0:
-            extra["smooth"] = angle_smoothness_loss(
-                params.endpoints, smooth_pairs, smooth_valid
-            )
-        return _render_and_loss(inputs, camera, graph.seg_active, offset, opt_cfg,
-                                raster_cfg, width, height, extra_losses=extra)
-
-    def batched_loss(params, offset, graph, camera, smooth_pairs, smooth_valid):
-        if camera.world_view.ndim == 3:
-            losses, auxes = jax.vmap(
-                lambda cam: loss_fn(params, offset, graph, cam, smooth_pairs, smooth_valid)
-            )(camera)
-            aux = dict(
-                loss_dict=jax.tree.map(jnp.mean, auxes["loss_dict"]),
-                radii=jnp.max(auxes["radii"], axis=0),
-                overflow_pairs=jnp.sum(auxes["overflow_pairs"]),
-                overflow_tiles=jnp.sum(auxes["overflow_tiles"]),
-                image=auxes["image"][0],
-            )
-            return jnp.mean(losses), aux
-        return loss_fn(params, offset, graph, camera, smooth_pairs, smooth_valid)
-
     @jax.jit
     def step_fn(params, graph, stats, opt_state, camera, step, smooth_pairs, smooth_valid):
-        offset = jnp.zeros((graph.endpoint_pairs.shape[0], 2), dtype=jnp.float32)
-        (loss, aux), (grads, offset_grad) = jax.value_and_grad(
-            batched_loss, argnums=(0, 1), has_aux=True
-        )(params, offset, graph, camera, smooth_pairs, smooth_valid)
+        def one_view(cam):
+            return render_loss_and_grads(
+                lambda p: hair_render_inputs(p, graph, cam.cam_center,
+                                             active_sh_degree, dist_to_scale_factor),
+                params, cam, graph.seg_active, opt_cfg, raster_cfg, width, height,
+            )
+
+        loss, grads, offset_grad, aux = _per_view(one_view, camera)
+
+        # strand regularizers act on the endpoints directly (no render path)
+        if use_smooth and opt_cfg.lambda_smooth > 0:
+            def smooth_fn(p):
+                return opt_cfg.lambda_smooth * angle_smoothness_loss(
+                    p.endpoints, smooth_pairs, smooth_valid
+                )
+
+            smooth_loss, smooth_grads = jax.value_and_grad(smooth_fn)(params)
+            loss = loss + smooth_loss
+            grads = _tree_add(grads, smooth_grads)
+            aux["loss_dict"] = dict(aux["loss_dict"],
+                                    smooth=smooth_loss / opt_cfg.lambda_smooth)
+
         stats = _update_stats(stats, aux["radii"], offset_grad, graph.seg_active)
         lr_tree = hair_lr_tree(opt_cfg, step, spatial_lr_scale)
         params, opt_state = adam_step(params, grads, opt_state, lr_tree)

@@ -1,0 +1,147 @@
+"""End-to-end three-stage pipeline smoke test on a tiny synthetic scene.
+
+Mirrors run_full_pipeline_single.sh: dataset prep -> Stage I (train) ->
+Stage II (merge) -> Stage III (train, resumed from the hair PLY) -> eval.
+"""
+
+import dataclasses
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+from hairgs_tpu.config import GeneralConfig, ModelConfig, OptimizationConfig, RuntimeConfig
+from hairgs_tpu.data.synthetic import generate_dataset, synthetic_test_hair
+from hairgs_tpu.render.renderer import RasterConfig
+
+
+SMALL_RASTER = dict(max_tiles_per_gaussian=8, max_pairs_per_tile=128,
+                    composite_chunk=16)
+
+
+def small_opt(iterations):
+    return dataclasses.replace(
+        OptimizationConfig(),
+        iterations=iterations,
+        position_lr_max_steps=iterations,
+        densify_from_iter=10,
+        densify_until_iter=int(iterations * 0.9),
+        densification_interval=20,
+        opacity_reset_interval=10 * iterations,  # off
+        merge_interval=10,
+    )
+
+
+def make_args(source, model_path, opt, extra=None):
+    ns = dict(
+        source_path=source, model_path=model_path, images="images",
+        sh_degree=0, resolution=-1, data_device="cpu", eval=False,
+        quiet=True, logger="none", ip="", port=0, vis2d=False,
+        update_vis2d_frequency=10**9, vis3d=False,
+        save_frequency=opt.iterations, eval_frequency=opt.iterations,
+        view_batch=1, mesh_data_axis=0, capacity_round=256,
+        **SMALL_RASTER,
+    )
+    for f in dataclasses.fields(OptimizationConfig):
+        ns[f.name] = getattr(opt, f.name)
+    if extra:
+        ns.update(extra)
+    return Namespace(**ns)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    hair = synthetic_test_hair(num_strands=20, points_per_strand=8, seed=1)
+    out = generate_dataset(
+        str(root / "data"), hair, num_cameras=6, width=64, height=64,
+        cam_z=0.35, init_points="gt_hair_verts", init_subsample=3,
+        raster_cfg=RasterConfig(max_tiles_per_gaussian=8, max_pairs_per_tile=128,
+                                chunk=16),
+    )
+    return out
+
+
+class TestDatasetGeneration:
+    def test_layout(self, dataset):
+        for p in [
+            "images/image_1.png", "masks/image_1.png",
+            "orientations/image_1_orientation.png",
+            "orientations/image_1_confidence.png",
+            "sparse/0/cameras.bin", "sparse/0/images.bin", "sparse/0/points3D.bin",
+            "hair_eval_data.npz", "head_reconstruction_data.npz",
+        ]:
+            assert os.path.exists(os.path.join(dataset, p)), p
+
+    def test_images_have_content(self, dataset):
+        from PIL import Image
+
+        img = np.asarray(Image.open(os.path.join(dataset, "images/image_1.png")))
+        assert img.max() > 30  # strands visible
+        mask = np.asarray(Image.open(os.path.join(dataset, "masks/image_1.png")))
+        assert 0 < (mask > 0).mean() < 0.9
+
+
+class TestFullPipeline:
+    def test_three_stages(self, dataset, tmp_path):
+        from train import training
+        from hairgs_tpu.models.hair import HairModel
+        from hairgs_tpu.scene import Scene
+        from hairgs_tpu.topo.merge import stage2_merge_loop
+        from hairgs_tpu.evaluation.eval_data import compute_eval_data_from_hair
+        from hairgs_tpu.evaluation.metrics import compute_metrics
+
+        model_path = str(tmp_path / "run")
+
+        # ---- Stage I
+        opt = small_opt(60)
+        args = make_args(dataset, model_path, opt)
+        mp = ModelConfig(source_path=dataset, model_path=model_path, sh_degree=0)
+        gp = GeneralConfig(quiet=True, logger="none",
+                           save_frequency=60, eval_frequency=60)
+        rt = RuntimeConfig(capacity_round=256, max_tiles_per_gaussian=8,
+                           max_pairs_per_tile=128, composite_chunk=16)
+        scene, model = training(mp, opt, gp, rt, args)
+        ply1 = os.path.join(model_path, "point_cloud", "iteration_60",
+                            "point_cloud.ply")
+        assert os.path.exists(ply1)
+        assert model.count > 0
+
+        # ---- Stage II (resume from the Stage-I checkpoint)
+        scene2 = Scene(args, shuffle=False, capacity_round=256)
+        g = scene2.gaussians
+        g.training_setup(opt)
+        assert not isinstance(g, HairModel)
+        hair = g.to_hair_model(scene2.head_reconstruction.scalp_verts)
+        hair.training_setup(opt)
+        n_before = len(hair.strands_info.list_strands)
+        stage2_merge_loop(hair, max_iterations=50)
+        n_after = len(hair.strands_info.list_strands)
+        assert n_after <= n_before
+        scene2.gaussians = hair
+        ply2 = scene2.save(1)
+        assert os.path.exists(ply2)
+
+        # ---- Stage III (resume: scene auto-dispatches to HairModel)
+        opt3 = small_opt(30)
+        args3 = make_args(dataset, model_path, opt3)
+        gp3 = GeneralConfig(quiet=True, logger="none",
+                            save_frequency=30, eval_frequency=30)
+        scene3, model3 = training(mp, opt3, gp3, rt, args3)
+        assert isinstance(model3, HairModel)
+        assert model3.num_segments > 0
+
+        # ---- Eval
+        pred = compute_eval_data_from_hair(model3)
+        gt = scene3.gt
+        assert gt is not None
+        metrics, ths = compute_metrics(pred=pred, gt=gt, bidirectional=True)
+        assert set(metrics) == {"precision(b)", "recall(b)", "f1(b)",
+                                "strand_consistency(b)"}
+        assert len(ths) == 4
+        for v in metrics.values():
+            assert np.all(np.isfinite(v)) and np.all(v >= 0) and np.all(v <= 1)
+        # NOTE: no quality bar here — at 64px one pixel covers ~11mm, far
+        # coarser than the 2-4mm metric thresholds; quality is validated by
+        # the benchmark at realistic resolution on TPU.

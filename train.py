@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Stage-I / Stage-III training driver.
+
+Parity target: reference train.py — same CLI surface (flag names from
+arguments/__init__.py), same schedule: random camera per step, SH degree bump
+every 1000 iters, densify in (densify_from_iter, densify_until_iter] every
+densification_interval, opacity reset every opacity_reset_interval, hair
+merging every merge_interval / growing every growth_interval, checkpoint every
+save_frequency, eval at eval_frequency and at the end.
+
+TPU redesign: the hot loop is one jitted XLA program (fused multi-channel
+render + loss + backward + Adam); topology ops run host-side at their
+(infrequent) cadence and write back into capacity-padded arenas.
+"""
+
+import os
+import sys
+import time
+import uuid
+from argparse import ArgumentParser
+
+import numpy as np
+
+from hairgs_tpu.config import (
+    GeneralConfig,
+    ModelConfig,
+    OptimizationConfig,
+    RuntimeConfig,
+    add_config_args,
+    extract_config,
+    save_cfg_args,
+)
+
+
+def prepare_output_path(args):
+    """utils/system.py:41-54 — default ./output/<uuid>, persist cfg_args."""
+    if not args.model_path:
+        args.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
+    print(f"Output folder: {args.model_path}")
+    os.makedirs(args.model_path, exist_ok=True)
+    save_cfg_args(args.model_path, args)
+
+
+def training(mp, op, gp, rt, args):
+    import jax
+    import jax.numpy as jnp
+
+    from hairgs_tpu.evaluation.eval_data import (
+        compute_eval_data_from_gaussian,
+        compute_eval_data_from_hair,
+    )
+    from hairgs_tpu.evaluation.metrics import compute_metrics
+    from hairgs_tpu.logging_utils import TrainingInfo, get_logger
+    from hairgs_tpu.models.hair import HairModel
+    from hairgs_tpu.core.schedules import expon_lr
+    from hairgs_tpu.render.renderer import RasterConfig
+    from hairgs_tpu.scene import Scene
+    from hairgs_tpu.topo.graph_ops import (
+        hair_densification,
+        hair_growing,
+        hair_merging,
+        hair_reset_opacity,
+    )
+    from hairgs_tpu.topo.strands import smooth_pair_indices
+    from hairgs_tpu.train.trainer import make_gaussian_train_step, make_hair_train_step
+
+    scene = Scene(args, shuffle=True, capacity_round=rt.capacity_round)
+    model = scene.gaussians
+    model.training_setup(op)
+    is_hair = isinstance(model, HairModel)
+    logger = get_logger(args)
+    info = TrainingInfo(iter=scene.loaded_iter)
+
+    cameras = scene.get_cameras()
+    height, width = cameras[0].height, cameras[0].width
+    raster_cfg = RasterConfig(
+        max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
+        max_pairs_per_tile=rt.max_pairs_per_tile,
+        chunk=rt.composite_chunk,
+    )
+
+    def run_eval():
+        if scene.gt is None:
+            return None, None
+        pred = (
+            compute_eval_data_from_hair(model)
+            if is_hair
+            else compute_eval_data_from_gaussian(model)
+        )
+        info.pred = pred
+        return compute_metrics(pred=pred, gt=scene.gt, bidirectional=op.bidirectional_eval)
+
+    info.eval_metrics, info.eval_thresholds = run_eval()
+    logger.log(info, model)
+
+    def build_step():
+        common = dict(
+            width=width, height=height,
+            active_sh_degree=model.active_sh_degree,
+            spatial_lr_scale=model.spatial_lr_scale,
+        )
+        if is_hair:
+            return make_hair_train_step(
+                op, raster_cfg, dist_to_scale_factor=model.dist_to_scale_factor,
+                **common,
+            )
+        return make_gaussian_train_step(op, raster_cfg, **common)
+
+    step_fn = build_step()
+
+    smooth_pairs, smooth_valid = (
+        smooth_pair_indices(model.strands_info) if is_hair else (None, None)
+    )
+
+    def refresh_smooth():
+        nonlocal smooth_pairs, smooth_valid
+        smooth_pairs, smooth_valid = smooth_pair_indices(model.strands_info)
+
+    import random as pyrandom
+
+    viewpoint_stack = []
+    ema_loss = 0.0
+    start_time = time.time()
+    for iteration in range(1, op.iterations + 1):
+        info.iter = scene.loaded_iter + iteration
+        info.densification_info = {}
+
+        # thresholds scheduled like LRs (hair_gaussian_model.py:285-293)
+        if is_hair:
+            model.merge_dist_th = float(expon_lr(
+                iteration, op.merge_dist_th_init, op.merge_dist_th_final,
+                lr_delay_mult=op.position_lr_delay_mult,
+                max_steps=op.position_lr_max_steps,
+            ))
+            model.merge_angle_th = float(expon_lr(
+                iteration, op.merge_angle_th_init, op.merge_angle_th_final,
+                lr_delay_mult=op.position_lr_delay_mult,
+                max_steps=op.position_lr_max_steps,
+            ))
+
+        if iteration % 1000 == 0 and model.active_sh_degree < model.max_sh_degree:
+            model.oneup_sh_degree()
+            step_fn = build_step()
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(cameras)
+        cam = viewpoint_stack.pop(pyrandom.randint(0, len(viewpoint_stack) - 1))
+
+        t0 = time.time()
+        if is_hair:
+            params, stats, opt_state, metrics, image = step_fn(
+                model.params, model.graph, model.stats, model.opt_state, cam,
+                jnp.asarray(iteration), jnp.asarray(smooth_pairs),
+                jnp.asarray(smooth_valid),
+            )
+        else:
+            params, stats, opt_state, metrics, image = step_fn(
+                model.params, model.stats, model.opt_state, model.active, cam,
+                jnp.asarray(iteration),
+            )
+        loss = float(metrics["loss"])
+        model.params, model.stats, model.opt_state = params, stats, opt_state
+        info.elapsed_time = (time.time() - t0) * 1000.0
+        info.loss = loss
+        info.loss_dict = {k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")}
+
+        overflow = int(metrics["overflow_tiles"]) + int(metrics["overflow_pairs"])
+        if overflow and iteration % 100 == 0:
+            print(f"[warn] iter {iteration}: {overflow} binning overflows — "
+                  f"consider raising max_pairs_per_tile/max_tiles_per_gaussian")
+
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+        if iteration % 100 == 0 and not gp.quiet:
+            n = model.num_segments if is_hair else model.count
+            print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
+                  f"prims {n}  {info.elapsed_time:.1f} ms")
+
+        # --- topology cadence (train.py:171-200)
+        topo_changed = False
+        if iteration < op.densify_until_iter:
+            if iteration > op.densify_from_iter and iteration % op.densification_interval == 0:
+                size_th = op.prune_max_radii_2d if iteration > op.opacity_reset_interval else None
+                if is_hair:
+                    hair_densification(model, scene.cameras_extent, size_th, info)
+                else:
+                    model.densification(scene.cameras_extent, size_th, info)
+                topo_changed = True
+            if iteration % op.opacity_reset_interval == 0:
+                if is_hair:
+                    hair_reset_opacity(model)
+                else:
+                    model.reset_opacity()
+        if is_hair:
+            if iteration % op.merge_interval == 0:
+                hair_merging(model, info)
+                topo_changed = True
+            if iteration % op.growth_interval == 0:
+                hair_growing(model, info)
+                topo_changed = True
+        if is_hair and topo_changed:
+            refresh_smooth()
+
+        # --- eval / log / save
+        if scene.gt is not None and (
+            iteration % gp.eval_frequency == 0 or iteration == op.iterations
+        ):
+            info.eval_metrics, info.eval_thresholds = run_eval()
+        logger.log(info, model)
+        if iteration % gp.save_frequency == 0 or iteration == op.iterations:
+            path = scene.save(iteration)
+            print(f"\n[ITER {iteration}] Saved scene to {path}")
+
+    total = time.time() - start_time
+    print(f"Training completed in {total:.1f}s "
+          f"({op.iterations / max(total, 1e-9):.2f} it/s)")
+    logger.close()
+    return scene, model
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser(description="Training script parameters")
+    add_config_args(parser, ModelConfig)
+    add_config_args(parser, OptimizationConfig)
+    add_config_args(parser, GeneralConfig)
+    add_config_args(parser, RuntimeConfig)
+    args = parser.parse_args(sys.argv[1:])
+    prepare_output_path(args)
+    np.random.seed(0)
+    training(
+        extract_config(args, ModelConfig),
+        extract_config(args, OptimizationConfig),
+        extract_config(args, GeneralConfig),
+        extract_config(args, RuntimeConfig),
+        args,
+    )
