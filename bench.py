@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: Stage-I training iterations/sec per chip.
+
+Workload mirrors the reference's headline configuration (BASELINE.md): a
+Stage-I GaussianModel optimization step at 1000x1000 with ~100k Gaussians —
+fused rgb+mask+orientation render, full loss, backward, densification-stat
+accumulation, and Adam — i.e. everything the reference does per train.py
+iteration except the host-side topology ops that run every 100 iterations.
+
+vs_baseline: the repo publishes no numbers (BASELINE.json "published": {});
+the divisor 20.0 it/s is a documented estimate of the CUDA reference's
+per-iteration rate at this scale (3 rasterizer invocations per step on a
+single modern GPU, ~50 ms/iter). Recorded so the ratio stays comparable
+across rounds; re-derive when a measured CUDA number becomes available.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ASSUMED_CUDA_REFERENCE_ITERS_PER_SEC = 20.0
+
+
+def build_bench(n_gaussians=100_000, width=999, height=1000, seed=0):
+    import jax.numpy as jnp
+
+    from hairgs_tpu.config import OptimizationConfig
+    from hairgs_tpu.core.camera import make_camera
+    from hairgs_tpu.models.gaussian import GaussianModel
+
+    rng = np.random.default_rng(seed)
+    # head-scale cloud (~0.35m across at 0.55m — fills most of the frame,
+    # per-tile depth complexity comparable to a mid-training USC scene)
+    pts = rng.normal(0, 0.11, (n_gaussians, 3)).astype(np.float32)
+    pts[:, 2] = 0.55 + rng.normal(0, 0.05, n_gaussians)
+    colors = rng.uniform(0.05, 0.95, (n_gaussians, 3)).astype(np.float32)
+
+    model = GaussianModel(sh_degree=0, capacity_round=4096)
+    model.create_from_pcd(pts, colors)
+    opt = OptimizationConfig()
+    model.training_setup(opt)
+    # typical mid-training scales: a few pixels on screen
+    arrays = model.host_arrays()
+    arrays["scaling"] = np.log(
+        rng.uniform(5e-4, 3e-3, (n_gaussians, 3))
+    ).astype(np.float32)
+    model._install(arrays, n_gaussians, moments=model.host_moments(), step=0)
+
+    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=1.0)
+    img = rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (height, width)) > 0.5).astype(np.float32)
+    orient = rng.uniform(0, np.pi, (height, width)).astype(np.float32)
+    conf = rng.uniform(0, 1, (height, width)).astype(np.float32)
+    cam = cam._replace(
+        image=jnp.asarray(img), mask=jnp.asarray(mask),
+        orientation=jnp.asarray(orient), confidence=jnp.asarray(conf),
+    )
+    return model, opt, cam, width, height
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hairgs_tpu.render.renderer import RasterConfig
+    from hairgs_tpu.train.trainer import make_gaussian_train_step
+
+    model, opt, cam, width, height = build_bench()
+    cfg = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=2048,
+                       chunk=128, use_pallas=True)
+    step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
+                                       active_sh_degree=0)
+
+    params, stats, opt_state = model.params, model.stats, model.opt_state
+    # warmup / compile
+    for i in range(3):
+        params, stats, opt_state, metrics, _ = step_fn(
+            params, stats, opt_state, model.active, cam, jnp.asarray(i + 1)
+        )
+    jax.block_until_ready(params)
+
+    n_timed = 20
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        params, stats, opt_state, metrics, _ = step_fn(
+            params, stats, opt_state, model.active, cam, jnp.asarray(i + 4)
+        )
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    iters_per_sec = n_timed / dt
+
+    print(json.dumps({
+        "metric": "stage1_train_iters_per_sec",
+        "value": round(iters_per_sec, 3),
+        "unit": "iter/s (100k gaussians, 1000x1000, fused rgb+mask+orientation)",
+        "vs_baseline": round(iters_per_sec / ASSUMED_CUDA_REFERENCE_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

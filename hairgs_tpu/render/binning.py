@@ -22,6 +22,166 @@ import jax
 import jax.numpy as jnp
 
 
+class SortedBinning(NamedTuple):
+    """Chunk-aligned ("paged") sorted pair layout for the Pallas compositor.
+
+    Every tile's pair list is padded to a multiple of the compositor chunk so
+    the kernel's HBM DMA windows are tile-aligned (a Mosaic requirement for
+    dynamic memref slices) and each tile owns its padding — backward writes
+    never touch another tile's slots.
+    """
+
+    paged_src: jnp.ndarray  # (P_pad,) int32: slot -> original flat pair idx
+    #                         (or the appended zero row for padding slots)
+    inv_paged: jnp.ndarray  # (P,) int32: original flat pair idx -> slot
+    #                         (or P_pad for culled/sentinel pairs)
+    starts: jnp.ndarray  # (num_tiles,) int32, chunk-aligned
+    counts: jnp.ndarray  # (num_tiles,) int32 true counts (capped)
+    overflow_pairs: jnp.ndarray  # () int32 dropped by per-gaussian budget
+    overflow_tiles: jnp.ndarray  # () int32 beyond the per-tile processing cap
+
+
+def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian):
+    n = rect.shape[0]
+    r_max = max_tiles_per_gaussian
+    num_tiles = grid_w * grid_h
+    rw = rect[:, 2] - rect[:, 0]
+    rh = rect[:, 3] - rect[:, 1]
+    count = rw * rh
+    rw_safe = jnp.maximum(rw, 1)
+    r = jnp.arange(r_max, dtype=jnp.int32)
+    tx = rect[:, 0:1] + (r[None, :] % rw_safe[:, None])
+    ty = rect[:, 1:2] + (r[None, :] // rw_safe[:, None])
+    pair_ok = valid[:, None] & (r[None, :] < count[:, None])
+    tile = jnp.where(pair_ok, ty * grid_w + tx, num_tiles)
+    overflow_pairs = jnp.sum(jnp.where(valid, jnp.maximum(count - r_max, 0), 0))
+    return tile, overflow_pairs
+
+
+def paged_capacity(n: int, max_tiles_per_gaussian: int, num_tiles: int,
+                   chunk: int) -> int:
+    """Static upper bound for the paged layout: every pair plus < chunk of
+    per-tile padding, plus one spare chunk of always-zero slots (the target
+    for culled pairs' backward gather)."""
+    return n * max_tiles_per_gaussian + (num_tiles + 1) * chunk
+
+
+def bin_gaussians_sorted(
+    rect: jnp.ndarray,
+    depth: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_w: int,
+    grid_h: int,
+    max_tiles_per_gaussian: int,
+    max_pairs_per_tile: int,
+    chunk: int,
+) -> SortedBinning:
+    """Sort-based binning emitting a chunk-aligned paged layout + ranges
+    (for the Pallas path — no (num_tiles, K) materialization).
+
+    Both directions of the pair<->slot mapping are materialized so the
+    backward pass *gathers* per-pair gradients back to original order instead
+    of scatter-adding — scatters are an order of magnitude slower than
+    gathers on TPU.
+    """
+    n = rect.shape[0]
+    r_max = max_tiles_per_gaussian
+    num_tiles = grid_w * grid_h
+    p = n * r_max
+    p_pad = paged_capacity(n, r_max, num_tiles, chunk)
+    tile, overflow_pairs = _expand_pairs(rect, valid, grid_w, grid_h, r_max)
+
+    depth_rep = jnp.broadcast_to(jax.lax.stop_gradient(depth)[:, None], (n, r_max))
+    flat_idx = jnp.arange(p, dtype=jnp.int32)
+
+    sorted_tile, _, perm = jax.lax.sort(
+        (tile.reshape(-1), depth_rep.reshape(-1), flat_idx),
+        num_keys=2,
+        is_stable=True,
+    )
+
+    tile_ids = jnp.arange(num_tiles, dtype=sorted_tile.dtype)
+    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    overflow_tiles = jnp.sum(jnp.maximum(counts - max_pairs_per_tile, 0))
+    counts = jnp.minimum(counts, max_pairs_per_tile)
+
+    # chunk-aligned paging
+    padded_counts = ((counts + chunk - 1) // chunk) * chunk
+    padded_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
+    )
+
+    # Per-sorted-position tile tables via segment-delta cumsums — O(P)
+    # vectorized, no P-sized gathers or binary searches (those dominate the
+    # step time on TPU otherwise). For every sorted position sp in tile t we
+    # need starts[t], counts[t] and the pad offset ps[t]-starts[t]; each is a
+    # per-segment constant, so scatter its per-tile delta at the segment
+    # start and integrate with a cumsum (co-located starts of empty tiles
+    # accumulate correctly through scatter-add).
+    def segment_table(values):
+        deltas = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+        buf = jnp.zeros(p, values.dtype).at[starts].add(deltas, mode="drop")
+        return jnp.cumsum(buf)
+
+    sp = flat_idx
+    starts_at = segment_table(starts)
+    counts_at = segment_table(counts)
+    pad_at = segment_table(padded_starts - starts)
+    offset_in_tile = sp - starts_at
+    valid_sorted = (sorted_tile < num_tiles) & (offset_in_tile < counts_at)
+    dest = sp + pad_at
+
+    # two small int32 scatters build both directions of the mapping
+    paged_src = jnp.full(p_pad, p, jnp.int32).at[
+        jnp.where(valid_sorted, dest, p_pad)
+    ].set(perm, mode="drop")
+    # culled pairs target the final spare chunk (always zero in the grads)
+    inv_paged = jnp.zeros(p, jnp.int32).at[perm].set(
+        jnp.where(valid_sorted, dest, p_pad - chunk).astype(jnp.int32)
+    )
+
+    return SortedBinning(
+        paged_src=paged_src,
+        inv_paged=inv_paged,
+        starts=padded_starts,
+        counts=counts,
+        overflow_pairs=overflow_pairs,
+        overflow_tiles=overflow_tiles,
+    )
+
+
+@jax.custom_vjp
+def permute_rows(rows, fwd_idx, bwd_idx):
+    """rows[fwd_idx] with a gather-based VJP (g[bwd_idx]) — avoids the slow
+    TPU scatter in the transpose of a gather.
+
+    Contract: fwd_idx/bwd_idx are mutually inverse over the "real" entries;
+    padding entries on either side must point at zero rows/slots. The
+    cotangent of `rows` gets a zero final row appended (the zero-row target
+    of padding slots accumulates nothing)."""
+    return rows[fwd_idx]
+
+
+def _permute_fwd(rows, fwd_idx, bwd_idx):
+    return rows[fwd_idx], (bwd_idx, rows.shape[0])
+
+
+def _permute_bwd(res, g):
+    bwd_idx, n_rows = res
+    back = g[bwd_idx]
+    pad = n_rows - back.shape[0]
+    if pad > 0:
+        back = jnp.concatenate(
+            [back, jnp.zeros((pad,) + back.shape[1:], back.dtype)], axis=0
+        )
+    return back, None, None
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
+
 class Binning(NamedTuple):
     gather_idx: jnp.ndarray  # (num_tiles, K) int32 indices into the Gaussian axis
     pair_valid: jnp.ndarray  # (num_tiles, K) bool

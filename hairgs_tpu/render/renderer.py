@@ -29,12 +29,18 @@ class RasterConfig:
     tile_size 16 matches config.h:15-16 (BLOCK_X/Y). The two capacities
     replace the dynamically-resized CUDA arenas (rasterize_points.cu:27-33);
     overflow is counted and surfaced so drivers can bump the bucket.
+
+    use_pallas selects the Pallas tile kernels (per-tile work proportional to
+    actual list length, transmittance early-exit) over the XLA scan
+    compositor; on non-TPU backends the kernels run in interpreter mode,
+    which is only suitable for tests.
     """
 
     tile_size: int = 16
     max_tiles_per_gaussian: int = 16
     max_pairs_per_tile: int = 1024
     chunk: int = 32
+    use_pallas: bool = False
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -86,29 +92,61 @@ def render(
         mean2d_offset=mean2d_offset,
     )
 
-    binning = bin_gaussians(
-        prep.rect,
-        prep.depth,
-        prep.valid,
-        grid_w,
-        grid_h,
-        config.max_tiles_per_gaussian,
-        config.max_pairs_per_tile,
-    )
-
-    gid = binning.gather_idx  # (NT, K)
-    pv = binning.pair_valid
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
-    # zero every invalid slot: clamped gather indices may alias rows whose
-    # (inactive) attributes are NaN — 0*NaN would poison forward and VJP
-    xy_g = jnp.where(pv[..., None], prep.xy[gid], 0.0)
-    con_g = jnp.where(pv[..., None], prep.conic[gid], 0.0)
-    opa_g = jnp.where(pv, opa_eff[gid], 0.0)
-    feat_g = jnp.where(pv[..., None], features[gid], 0.0)
+    num_channels = features.shape[-1]
 
-    tiles, trans_tiles = composite(
-        xy_g, con_g, opa_g, feat_g, grid_w, grid_h, ts, config.chunk
-    )
+    if config.use_pallas:
+        from hairgs_tpu.render.binning import bin_gaussians_sorted, permute_rows
+        from hairgs_tpu.render.pallas_composite import composite_pairs, pack_rows
+
+        binning = bin_gaussians_sorted(
+            prep.rect, prep.depth, prep.valid, grid_w, grid_h,
+            config.max_tiles_per_gaussian, config.max_pairs_per_tile,
+            config.chunk,
+        )
+        # NaN hygiene for inactive rows (mirrors the XLA path's slot zeroing)
+        feat_eff = jnp.where(prep.valid[:, None], features, 0.0)
+        packed = pack_rows(prep.xy, prep.conic, opa_eff, feat_eff)  # (N, PACK)
+        n, pack = packed.shape
+        r_max = config.max_tiles_per_gaussian
+        pair_rows = jnp.broadcast_to(packed[:, None, :], (n, r_max, pack)).reshape(
+            n * r_max, pack
+        )
+        pair_rows = jnp.concatenate(
+            [pair_rows, jnp.zeros((1, pack), pair_rows.dtype)], axis=0
+        )  # zero row: target of padding slots
+        rows_paged = permute_rows(pair_rows, binning.paged_src, binning.inv_paged)
+        rows_t = rows_paged.T
+        interpret = jax.default_backend() != "tpu"
+        max_chunks = config.max_pairs_per_tile // config.chunk
+        out_t, trans_tiles = composite_pairs(
+            rows_t, binning.starts, binning.counts, grid_w, grid_h, ts,
+            config.chunk, max_chunks, interpret,
+        )
+        tiles = out_t[..., :num_channels]
+    else:
+        binning = bin_gaussians(
+            prep.rect,
+            prep.depth,
+            prep.valid,
+            grid_w,
+            grid_h,
+            config.max_tiles_per_gaussian,
+            config.max_pairs_per_tile,
+        )
+
+        gid = binning.gather_idx  # (NT, K)
+        pv = binning.pair_valid
+        # zero every invalid slot: clamped gather indices may alias rows whose
+        # (inactive) attributes are NaN — 0*NaN would poison forward and VJP
+        xy_g = jnp.where(pv[..., None], prep.xy[gid], 0.0)
+        con_g = jnp.where(pv[..., None], prep.conic[gid], 0.0)
+        opa_g = jnp.where(pv, opa_eff[gid], 0.0)
+        feat_g = jnp.where(pv[..., None], features[gid], 0.0)
+
+        tiles, trans_tiles = composite(
+            xy_g, con_g, opa_g, feat_g, grid_w, grid_h, ts, config.chunk
+        )
 
     image = assemble_image(tiles, grid_w, grid_h, ts, height, width)
     final_t = assemble_image(trans_tiles, grid_w, grid_h, ts, height, width)
@@ -122,7 +160,7 @@ def render(
         "visibility_filter": prep.radius > 0,
         "overflow_pairs": binning.overflow_pairs,
         "overflow_tiles": binning.overflow_tiles,
-        "tile_counts": binning.tile_counts,
+        "tile_counts": (binning.counts if config.use_pallas else binning.tile_counts),
     }
 
 

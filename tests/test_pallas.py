@@ -1,0 +1,66 @@
+"""Pallas compositor parity vs the XLA scan compositor (interpret mode on CPU)."""
+
+import dataclasses
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hairgs_tpu.render import render, RasterConfig
+from tests.test_render import WIDTH, HEIGHT, make_scene
+
+XLA_CFG = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=64, chunk=16,
+                       use_pallas=False)
+PL_CFG = dataclasses.replace(XLA_CFG, use_pallas=True)
+
+
+def run(cfg, scene, **kw):
+    cam, (means, scales, q, opacity, features) = scene
+    return render(cam, means3d=means, scales=scales, rotations=q,
+                  opacity=opacity, features=features,
+                  width=WIDTH, height=HEIGHT, config=cfg, **kw)
+
+
+class TestPallasForward:
+    def test_matches_xla(self):
+        scene = make_scene(n=50)
+        out_x = run(XLA_CFG, scene)
+        out_p = run(PL_CFG, scene)
+        assert int(out_p["overflow_tiles"]) == 0
+        np.testing.assert_allclose(np.asarray(out_p["render"]),
+                                   np.asarray(out_x["render"]), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out_p["final_T"]),
+                                   np.asarray(out_x["final_T"]), atol=3e-5)
+
+    def test_active_mask(self):
+        scene = make_scene(n=20)
+        cam, (means, scales, q, opacity, features) = scene
+        active = jnp.zeros(20, dtype=bool).at[:10].set(True)
+        out_p = run(PL_CFG, scene, active=active)
+        out_x = run(XLA_CFG, scene, active=active)
+        np.testing.assert_allclose(np.asarray(out_p["render"]),
+                                   np.asarray(out_x["render"]), atol=3e-5)
+
+
+class TestPallasBackward:
+    def test_grads_match_xla(self):
+        scene = make_scene(n=40, opacity_max=0.8)
+        cam, args = scene
+        rng = np.random.default_rng(7)
+        gw = jnp.asarray(rng.normal(size=(HEIGHT, WIDTH, 3)).astype(np.float32))
+
+        def loss(cfg, means, scales, q, opacity, features):
+            out = render(cam, means3d=means, scales=scales, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(out["render"] * gw) + 0.3 * jnp.sum(out["final_T"])
+
+        g_x = jax.grad(lambda *a: loss(XLA_CFG, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        g_p = jax.grad(lambda *a: loss(PL_CFG, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        names = ["means", "scales", "q", "opacity", "features"]
+        for name, gx, gp in zip(names, g_x, g_p):
+            scale = np.maximum(np.abs(np.asarray(gx)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), atol=2e-3 * scale, rtol=2e-3,
+                err_msg=f"gradient mismatch for {name}",
+            )
