@@ -1,0 +1,144 @@
+"""FLAME head model (linear blend skinning) — dependency-free numpy/jnp.
+
+Parity target: scene/flame.py (smplx-based differentiable FLAME used only to
+extract fitted-head vertices and the scalp vertex region for NeRSemble scenes,
+parse_nersemble.py:150-367). This implementation reads the standard FLAME
+pickle (v_template, shapedirs, posedirs, J_regressor, lbs_weights,
+kintree_table) and evaluates
+
+    verts = LBS(v_template + shapedirs.(beta|psi) + posedirs.pose_feature)
+
+with Rodrigues joint rotations — the full generic FLAME forward, no smplx
+needed. The scalp region comes from the FLAME_masks pickle ("scalp" entry),
+as the reference does (scene/flame.py mask handling).
+
+Gated at call time on the model files being present (they are licensed
+artifacts the user downloads from flame.is.tue.mpg.de).
+"""
+
+import pickle
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class FlameModel(NamedTuple):
+    v_template: np.ndarray  # (V,3)
+    shapedirs: np.ndarray  # (V,3,n_shape+n_expr)
+    posedirs: np.ndarray  # (V,3,9*(J-1)) stored flattened as (9*(J-1), V*3)
+    j_regressor: np.ndarray  # (J,V)
+    lbs_weights: np.ndarray  # (V,J)
+    parents: np.ndarray  # (J,)
+    faces: np.ndarray  # (F,3)
+
+
+def _to_np(x):
+    if hasattr(x, "todense"):
+        return np.asarray(x.todense())
+    if hasattr(x, "r"):  # chumpy
+        return np.asarray(x.r)
+    return np.asarray(x)
+
+
+def load_flame_model(path: str) -> FlameModel:
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    posedirs = _to_np(data["posedirs"])
+    v = _to_np(data["v_template"]).shape[0]
+    posedirs = posedirs.reshape(v * 3, -1).T  # (P, V*3)
+    return FlameModel(
+        v_template=_to_np(data["v_template"]).astype(np.float64),
+        shapedirs=_to_np(data["shapedirs"]).astype(np.float64),
+        posedirs=posedirs.astype(np.float64),
+        j_regressor=_to_np(data["J_regressor"]).astype(np.float64),
+        lbs_weights=_to_np(data["weights"]).astype(np.float64),
+        parents=_to_np(data["kintree_table"])[0].astype(np.int64),
+        faces=_to_np(data["f"]).astype(np.int64),
+    )
+
+
+def _rodrigues(rvecs: np.ndarray) -> np.ndarray:
+    """(J,3) axis-angle -> (J,3,3)."""
+    theta = np.linalg.norm(rvecs, axis=1, keepdims=True)
+    theta = np.maximum(theta, 1e-12)
+    axis = rvecs / theta
+    x, y, z = axis[:, 0], axis[:, 1], axis[:, 2]
+    zeros = np.zeros_like(x)
+    K = np.stack(
+        [zeros, -z, y, z, zeros, -x, -y, x, zeros], axis=1
+    ).reshape(-1, 3, 3)
+    s = np.sin(theta)[:, :, None]
+    c = np.cos(theta)[:, :, None]
+    eye = np.eye(3)[None]
+    return eye + s * K + (1 - c) * (K @ K)
+
+
+def flame_forward(model: FlameModel, shape_params=None, expression_params=None,
+                  pose_params=None, neck_pose=None, eye_pose=None,
+                  transl=None) -> np.ndarray:
+    """FLAME forward returning vertices (V,3).
+
+    pose_params: (6,) global + jaw axis-angle; neck_pose (3,), eye_pose (6,),
+    matching the smplx FLAME layout the reference uses (scene/flame.py:234+).
+    """
+    n_shape_total = model.shapedirs.shape[2]
+    v = model.v_template.shape[0]
+    j = model.j_regressor.shape[0]
+
+    betas = np.zeros(n_shape_total)
+    if shape_params is not None:
+        betas[: len(shape_params)] = shape_params
+    if expression_params is not None:
+        # FLAME convention: first 300 shape, remainder expression
+        n_shape = n_shape_total - len(expression_params)
+        betas[n_shape : n_shape + len(expression_params)] = expression_params
+
+    v_shaped = model.v_template + np.einsum("vks,s->vk", model.shapedirs, betas)
+    joints = model.j_regressor @ v_shaped  # (J,3)
+
+    full_pose = np.zeros((j, 3))
+    if pose_params is not None:
+        full_pose[0] = pose_params[:3]  # global
+        if len(pose_params) >= 6:
+            full_pose[3] = pose_params[3:6]  # jaw (joint 3 in FLAME)
+    if neck_pose is not None:
+        full_pose[1] = neck_pose  # neck
+    if eye_pose is not None:
+        full_pose[4] = eye_pose[:3]
+        full_pose[5] = eye_pose[3:6]
+
+    rots = _rodrigues(full_pose)  # (J,3,3)
+    # pose-dependent corrective blendshapes (exclude global joint)
+    pose_feature = (rots[1:] - np.eye(3)[None]).reshape(-1)
+    v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(v, 3)
+
+    # forward kinematics
+    transforms = np.zeros((j, 4, 4))
+    transforms[0] = np.eye(4)
+    transforms[0, :3, :3] = rots[0]
+    transforms[0, :3, 3] = joints[0]
+    for i in range(1, j):
+        local = np.eye(4)
+        local[:3, :3] = rots[i]
+        local[:3, 3] = joints[i] - joints[model.parents[i]]
+        transforms[i] = transforms[model.parents[i]] @ local
+    # remove rest-pose joint locations
+    rel = transforms.copy()
+    for i in range(j):
+        rel[i, :3, 3] -= rel[i, :3, :3] @ joints[i]
+
+    # linear blend skinning
+    vert_t = np.einsum("vj,jab->vab", model.lbs_weights, rel)  # (V,4,4)
+    homo = np.concatenate([v_posed, np.ones((v, 1))], axis=1)
+    out = np.einsum("vab,vb->va", vert_t, homo)[:, :3]
+    if transl is not None:
+        out = out + np.asarray(transl)
+    return out.astype(np.float32)
+
+
+def load_flame_masks(path: str) -> dict:
+    """FLAME_masks.pkl: region name -> vertex index array; the "scalp" region
+    provides ref_strand_root for NeRSemble scenes."""
+    with open(path, "rb") as f:
+        masks = pickle.load(f, encoding="latin1")
+    return {k: np.asarray(val, dtype=np.int64) for k, val in masks.items()}

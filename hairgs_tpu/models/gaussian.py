@@ -436,15 +436,94 @@ class GaussianModel:
         center = arrays["xyz"]
         return np.stack([center + rotated, center - rotated], axis=1)
 
-    def compute_foreground_mask_np(self, arrays=None) -> np.ndarray:
-        """opacity >= th AND mask >= binarization th;
-        scene/gaussian_model.py:727-733 (lines_only variant not needed for
-        the pipeline drivers)."""
+    def compute_foreground_mask_np(self, arrays=None, lines_only: bool = False) -> np.ndarray:
+        """opacity >= th AND mask >= binarization th; with lines_only, keep
+        only gaussians elongated along exactly one axis with thin round minor
+        axes (scene/gaussian_model.py:727-795)."""
         if arrays is None:
             arrays = self.host_arrays()
-        return (self.np_opacity(arrays)[:, 0] >= OPACITY_TH) & (
+        mask = (self.np_opacity(arrays)[:, 0] >= OPACITY_TH) & (
             self.np_mask(arrays)[:, 0] >= FG_BIN_TH
         )
+        if lines_only:
+            factor_threshold = 5
+            eps = 1e-1
+            radius_threshold = 2.5e-5
+            s = self.np_scaling(arrays)
+            scale_th = radius_threshold * self.dist_to_scale_factor
+
+            def line_along(i, j, k):
+                # axis i dominant; j,k similar and thin
+                cond = (s[:, i] / s[:, j] > factor_threshold) & (
+                    s[:, i] / s[:, k] > factor_threshold
+                )
+                ratio = s[:, j] / s[:, k]
+                # reference l.745-751: the or-clause is a tautology as written;
+                # replicated faithfully (any ratio passes)
+                cond &= (ratio > 1 - eps) | (ratio < 1 + eps)
+                cond &= (s[:, j] <= scale_th) & (s[:, k] <= scale_th)
+                return cond
+
+            x_line = line_along(0, 1, 2)
+            y_line = line_along(1, 0, 2)
+            z_line = line_along(2, 0, 1)
+            mask &= x_line ^ y_line ^ z_line
+        return mask
+
+    # -- full-state checkpointing (capture/restore equivalent) -----------
+
+    def capture(self) -> dict:
+        """Full optimization state incl. Adam moments — the reference's
+        capture tuple (scene/gaussian_model.py:80-95) exists but is unused by
+        its drivers (PLY checkpoints lose optimizer state); here it is a
+        working npz payload."""
+        c = self.count
+        state = {f"param/{k}": np.asarray(v)[:c] for k, v in self.params._asdict().items()}
+        state.update({f"mu/{k}": np.asarray(v)[:c] for k, v in self.opt_state.mu._asdict().items()})
+        state.update({f"nu/{k}": np.asarray(v)[:c] for k, v in self.opt_state.nu._asdict().items()})
+        state["step"] = np.asarray(int(self.opt_state.step))
+        state["active_sh_degree"] = np.asarray(self.active_sh_degree)
+        state["spatial_lr_scale"] = np.asarray(self.spatial_lr_scale)
+        state["stats/max_radii2d"] = np.asarray(self.stats.max_radii2d)[:c]
+        state["stats/xyz_grad_accum"] = np.asarray(self.stats.xyz_grad_accum)[:c]
+        state["stats/denom"] = np.asarray(self.stats.denom)[:c]
+        return state
+
+    def save_checkpoint(self, path: str):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, **self.capture())
+
+    def restore(self, state: dict):
+        params = {k.split("/", 1)[1]: np.array(v) for k, v in state.items()
+                  if k.startswith("param/")}
+        mom = {
+            "mu": {k.split("/", 1)[1]: np.array(v) for k, v in state.items()
+                   if k.startswith("mu/")},
+            "nu": {k.split("/", 1)[1]: np.array(v) for k, v in state.items()
+                   if k.startswith("nu/")},
+        }
+        self._install(params, params["xyz"].shape[0], moments=mom,
+                      step=int(state["step"]))
+        self.active_sh_degree = int(state["active_sh_degree"])
+        self.spatial_lr_scale = float(state["spatial_lr_scale"])
+        cap = self.capacity
+        c = self.count
+
+        def pad1(v, like):
+            out = np.zeros_like(np.asarray(like))
+            out[:c] = v
+            return jnp.asarray(out)
+
+        self.stats = GaussianStats(
+            max_radii2d=pad1(state["stats/max_radii2d"], self.stats.max_radii2d),
+            xyz_grad_accum=pad1(state["stats/xyz_grad_accum"], self.stats.xyz_grad_accum),
+            denom=pad1(state["stats/denom"], self.stats.denom),
+        )
+
+    def load_checkpoint(self, path: str):
+        self.restore(dict(np.load(path)))
 
     def clean_gaussians(self):
         arrays = self.host_arrays()

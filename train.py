@@ -118,10 +118,58 @@ def training(mp, op, gp, rt, args):
 
     import random as pyrandom
 
+    # live viewer (SIBR protocol; train.py:95-131)
+    gui = None
+    if gp.ip:
+        from hairgs_tpu.network_gui import network_gui as gui
+
+        try:
+            gui.init(gp.ip, gp.port)
+        except OSError as e:
+            print(f"[gui] disabled ({e})")
+            gui = None
+
+    def serve_gui(iteration):
+        if gui is None:
+            return
+        if gui.conn is None:
+            gui.try_connect()
+        while gui.conn is not None:
+            try:
+                cam, do_training, _, _, keep_alive, scaling_mod = gui.receive()
+                img_bytes = None
+                if cam is not None:
+                    from hairgs_tpu.models.gaussian import gaussian_render_inputs
+                    from hairgs_tpu.models.hair import hair_render_inputs
+                    from hairgs_tpu.render.renderer import render as _render
+
+                    c = cam.to_camera()
+                    if is_hair:
+                        inputs = hair_render_inputs(
+                            model.params, model.graph, c.cam_center,
+                            model.active_sh_degree, model.dist_to_scale_factor)
+                        active = model.graph.seg_active
+                    else:
+                        inputs = gaussian_render_inputs(
+                            model.params, c.cam_center, model.active_sh_degree)
+                        active = model.active
+                    out = _render(c, **inputs, active=active,
+                                  scale_modifier=scaling_mod or 1.0,
+                                  width=cam.width, height=cam.height,
+                                  config=raster_cfg)
+                    rgb = np.clip(np.asarray(out["render"][..., :3]), 0, 1)
+                    img_bytes = memoryview((rgb * 255).astype(np.uint8))
+                gui.send(img_bytes, args.source_path)
+                if do_training and (iteration < op.iterations or not keep_alive):
+                    break
+            except Exception:
+                gui.conn = None
+
     viewpoint_stack = []
     ema_loss = 0.0
     start_time = time.time()
     for iteration in range(1, op.iterations + 1):
+        serve_gui(iteration)
         info.iter = scene.loaded_iter + iteration
         info.densification_info = {}
 
