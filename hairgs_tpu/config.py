@@ -83,10 +83,11 @@ class RuntimeConfig:
 
     view_batch: int = 1  # cameras per step, sharded over the mesh data axis
     mesh_data_axis: int = 0  # 0 = use all local devices
-    max_tiles_per_gaussian: int = 32
-    max_pairs_per_tile: int = 1024
-    composite_chunk: int = 32
-    capacity_round: int = 4096  # arena capacity bucket size
+    max_tiles_per_gaussian: int = 16
+    max_pairs_per_tile: int = 2048
+    composite_chunk: int = 128
+    capacity_round: int = 4096
+    use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere  # arena capacity bucket size
 
 
 _SHORTHANDS = {"source_path": "s", "model_path": "m", "images": "i", "resolution": "r"}

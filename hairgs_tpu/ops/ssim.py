@@ -16,28 +16,34 @@ def _window(window_size: int, sigma: float):
     g = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2)
     )
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    g = (g / g.sum()).astype(np.float32)
+    return g
 
 
-def _filter(img, w2d):
-    """Depthwise 2D conv with zero SAME padding; img (H,W,C)."""
+def _filter(img, g1d):
+    """Depthwise Gaussian blur with zero SAME padding; img (H,W,C).
+
+    The reference's 2D window is the outer product of a 1D Gaussian with
+    itself (loss/losses.py:34-40), so two 1D passes compute the identical
+    filter at ~1/5 of the work."""
     c = img.shape[-1]
-    k = w2d.shape[0]
-    # depthwise: HWIO with I=1, O=c (feature_group_count=c)
-    kernel = jnp.broadcast_to(jnp.asarray(w2d)[:, :, None, None], (k, k, 1, c))
-    # NHWC x HWIO
-    out = jax.lax.conv_general_dilated(
-        img[None],
-        kernel,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0]
+    k = g1d.shape[0]
+    pad = k // 2
+    kern = jnp.asarray(g1d)
+
+    def dw_conv(x, kernel_hw):
+        kh, kw = kernel_hw.shape
+        kernel = jnp.broadcast_to(kernel_hw[:, :, None, None], (kh, kw, 1, c))
+        return jax.lax.conv_general_dilated(
+            x[None], kernel, window_strides=(1, 1),
+            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    out = dw_conv(img, kern[:, None])  # vertical pass (k,1)
+    return dw_conv(out, kern[None, :])  # horizontal pass (1,k)
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):

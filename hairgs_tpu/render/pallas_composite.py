@@ -40,10 +40,18 @@ PACK_BASE = 6  # x, y, a, b, c, opacity
 TILES_PER_STEP = 8
 
 
-def pack_rows(xy, conic, opacity, features):
-    """Per-gaussian packed attribute rows (N, PACK); PACK is 6+C rounded up
-    to a multiple of 8 (sublane alignment after transpose)."""
+def pack_rows(xy, conic, opacity, features, aux=None):
+    """Per-gaussian packed attribute rows (N, PACK); PACK is 6+C(+2 aux)
+    rounded up to a multiple of 8 (sublane alignment after transpose).
+
+    `aux` (N,2), when given, occupies two rows right after the features: the
+    forward kernel never reads them, and the backward kernel writes the
+    *photometric-only* viewspace gradients there — so d(aux) delivers the
+    densification statistics of the reference's first-render screenspace
+    tensor without a second VJP pull."""
     cols = [xy[:, 0:1], xy[:, 1:2], conic, opacity[:, None], features]
+    if aux is not None:
+        cols.append(aux)
     packed = jnp.concatenate(cols, axis=1)
     pack = packed.shape[1]
     pad = (-pack) % 8
@@ -52,13 +60,8 @@ def pack_rows(xy, conic, opacity, features):
     return packed
 
 
-def pack_channels(pack: int) -> int:
-    """Feature-channel rows in a padded pack (zero pad rows render as zero
-    channels; callers slice to the true channel count)."""
-    return pack - PACK_BASE
-
-
 def _chunk_quantities(buf, px, py, count_in_chunk_mask, num_channels):
+    # feature rows are the true channel count; aux/pad rows are never read
     """Shared forward math for one chunk: buf (PACK, CH); px/py (PIX, 1)."""
     xg = buf[0:1, :]
     yg = buf[1:2, :]
@@ -182,9 +185,9 @@ def _fwd_kernel(starts_ref, counts_ref, rows_hbm, out_ref, trans_ref, tstarts_re
 
 
 def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
-                gout_ref, gtrans_ref, drows_init_hbm, drows_hbm,
-                buf, dbuf, bcarry, sem, osem, *, grid_w, tile_size, chunk,
-                max_chunks, num_channels, pack, tiles_per_step):
+                gout_ref, gphoto_ref, gtrans_ref, drows_init_hbm, drows_hbm,
+                buf, dbuf, bcarry, bcarry2, sem, osem, *, grid_w, tile_size,
+                chunk, max_chunks, num_channels, pack, tiles_per_step):
     del drows_init_hbm  # aliased zero-initialized output
     pix = tile_size * tile_size
     upper_incl, strict_upper = _triangular(chunk)
@@ -196,11 +199,15 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
         count = counts_ref[t]
         px, py = _pixel_coords(t, grid_w, tile_size, pix)
 
-        # B carries the suffix term Sum_{later} w*f.g plus T_final * g_T
+        # B carries the suffix term Sum_{later} w*f.g plus T_final * g_T;
+        # the photometric carry has no transmittance term (training composites
+        # a black background, so the photometric loss never touches final_T)
         bcarry[:] = (
             tfinal_ref[t_local, :] * gtrans_ref[t_local, :]
         )[:, None]
-        g_out = gout_ref[:, pl.ds(t_local * pix, pix)]  # (C, PIX)
+        bcarry2[:] = jnp.zeros_like(bcarry2)
+        g_out = gout_ref[:, pl.ds(t_local * pix, pix)]  # (C, PIX) total loss
+        g_photo = gphoto_ref[:, pl.ds(t_local * pix, pix)]  # (C, PIX) photo only
         nchunks = pl.cdiv(count, chunk)
 
         def chunk_dma(j, slot):
@@ -221,7 +228,8 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
             chunk_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
 
         def body(i, _, chunk_dma=chunk_dma, store_dma=store_dma,
-                 nchunks=nchunks, count=count, t_local=t_local, g_out=g_out):
+                 nchunks=nchunks, count=count, t_local=t_local, g_out=g_out,
+                 g_photo=g_photo):
             j = nchunks - 1 - i
 
             @pl.when(j >= 0)
@@ -277,8 +285,28 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
                     g_out, w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                # photometric-only viewspace gradients (densification stats,
+                # reference train.py:173-177 semantics) into the aux rows —
+                # the marginal cost is one extra fdotg/suffix matmul pair
+                fdotg2 = jax.lax.dot_general(
+                    g_photo, feat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                wf2 = w * fdotg2
+                suffix2 = jax.lax.dot_general(
+                    wf2, strict_upper, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                B2 = suffix2 + bcarry2[:]
+                dalpha2 = jnp.where(use, t_excl * fdotg2 - B2 / (1.0 - alpha), 0.0)
+                dpower2 = jnp.where(use, opa * G * dalpha2, 0.0)
+                d_x2 = jnp.sum(dpower2 * (-(a * dx + b * dy)), axis=0,
+                               keepdims=True)
+                d_y2 = jnp.sum(dpower2 * (-(c * dy + b * dx)), axis=0,
+                               keepdims=True)
+
                 grad_rows = jnp.concatenate(
-                    [d_x, d_y, d_a, d_b, d_c, d_opa, d_feat], axis=0
+                    [d_x, d_y, d_a, d_b, d_c, d_opa, d_feat, d_x2, d_y2], axis=0
                 )
                 pad = pack - grad_rows.shape[0]
                 if pad:
@@ -294,6 +322,7 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
                 dbuf[slot] = jnp.where(kmask, grad_rows, 0.0)
                 store_dma(j, slot).start()
                 bcarry[:] += jnp.sum(wf, axis=1, keepdims=True)
+                bcarry2[:] += jnp.sum(wf2, axis=1, keepdims=True)
 
             return 0
 
@@ -317,25 +346,31 @@ def _pad_tiles(starts, counts, nt, tiles_per_step):
     return starts, counts, nt_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def composite_pairs(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-                    max_chunks, interpret):
+                    max_chunks, num_channels, interpret):
     """Tile compositing over the chunk-aligned paged pair table.
 
-    rows: (PACK, P_paged) f32; starts: chunk-aligned page offsets; counts:
-    true per-tile pair counts. Returns (out (NT, PIX, Cpack), trans (NT, PIX)).
+    rows: (PACK, P_paged) f32 (pack_rows layout with aux slots); starts:
+    chunk-aligned page offsets; counts: true per-tile pair counts.
+
+    Returns (out, out_photo, trans): out and out_photo carry identical values
+    (NT, PIX, C). Compute *photometric* losses from out_photo and everything
+    else from out — the backward then uses out's cotangent + out_photo's for
+    parameter gradients and out_photo's alone for the aux-row viewspace
+    gradients, reproducing the reference's stats split in ONE backward pass.
     """
     out, trans, _ = _forward_pallas(rows, starts, counts, grid_w, grid_h,
-                                    tile_size, chunk, max_chunks, interpret)
-    return out, trans
+                                    tile_size, chunk, max_chunks, num_channels,
+                                    interpret)
+    return out, out, trans
 
 
 def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-                    max_chunks, interpret):
+                    max_chunks, num_channels, interpret):
     nt = grid_w * grid_h
     pix = tile_size * tile_size
     pack = rows.shape[0]
-    num_channels = pack_channels(pack)
     tps = TILES_PER_STEP
     starts, counts, nt_pad = _pad_tiles(starts, counts, nt, tps)
     assert max_chunks % 8 == 0 or interpret, (
@@ -385,28 +420,31 @@ def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
 
 
 def _composite_fwd(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-                   max_chunks, interpret):
+                   max_chunks, num_channels, interpret):
     out, trans, (tstarts, trans_full) = _forward_pallas(
         rows, starts, counts, grid_w, grid_h, tile_size, chunk, max_chunks,
-        interpret,
+        num_channels, interpret,
     )
-    return (out, trans), (rows, starts, counts, tstarts, trans_full)
+    return (out, out, trans), (rows, starts, counts, tstarts, trans_full)
 
 
-def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, interpret,
-                   res, cts):
+def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
+                   interpret, res, cts):
     rows, starts, counts, tstarts, trans_full = res
-    g_out, g_trans = cts
+    g_aux, g_photo, g_trans = cts
+    g_out = g_aux + g_photo  # total-loss cotangent
     nt = grid_w * grid_h
     pix = tile_size * tile_size
     pack = rows.shape[0]
-    num_channels = pack_channels(pack)
     tps = TILES_PER_STEP
     starts, counts, nt_pad = _pad_tiles(starts, counts, nt, tps)
     if nt_pad != nt:
         pad = nt_pad - nt
         g_out = jnp.concatenate(
             [g_out, jnp.zeros((pad, pix, num_channels), g_out.dtype)], axis=0
+        )
+        g_photo = jnp.concatenate(
+            [g_photo, jnp.zeros((pad, pix, num_channels), g_photo.dtype)], axis=0
         )
         g_trans = jnp.concatenate(
             [g_trans, jnp.zeros((pad, pix), g_trans.dtype)], axis=0
@@ -427,6 +465,8 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, interpret,
                          memory_space=pltpu.VMEM),  # trans_final
             pl.BlockSpec((num_channels, tps * pix), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # g_out (channels-first)
+            pl.BlockSpec((num_channels, tps * pix), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # g_photo (channels-first)
             pl.BlockSpec((tps, pix), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # g_trans
             pl.BlockSpec(memory_space=pltpu.HBM),  # drows init (aliased)
@@ -435,6 +475,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, interpret,
         scratch_shapes=[
             pltpu.VMEM((2, pack, chunk), jnp.float32),
             pltpu.VMEM((2, pack, chunk), jnp.float32),
+            pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -445,7 +486,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, interpret,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(rows.shape, jnp.float32)],
-        input_output_aliases={7: 0},  # 2 scalar-prefetch + 5 tensor inputs
+        input_output_aliases={8: 0},  # 2 scalar-prefetch + 6 tensor inputs
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -453,6 +494,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, interpret,
     )(starts, counts, rows, tstarts,
       trans_full,
       g_out.reshape(-1, num_channels).T,
+      g_photo.reshape(-1, num_channels).T,
       g_trans,
       drows_init)
     return drows, None, None

@@ -78,6 +78,9 @@ def render(
     grid_w = (width + ts - 1) // ts
     grid_h = (height + ts - 1) // ts
 
+    # Pallas path: the viewspace-gradient hook rides the packed aux rows
+    # (photometric-only gradients from the dual-cotangent backward); the
+    # XLA path keeps the additive-offset hook in preprocess.
     prep = preprocess(
         means3d,
         scales,
@@ -89,11 +92,12 @@ def render(
         active=active,
         scale_modifier=scale_modifier,
         cov3d_precomp=cov3d_precomp,
-        mean2d_offset=mean2d_offset,
+        mean2d_offset=None if config.use_pallas else mean2d_offset,
     )
 
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
     num_channels = features.shape[-1]
+    image_photo = None
 
     if config.use_pallas:
         from hairgs_tpu.render.binning import bin_gaussians_sorted, permute_rows
@@ -106,7 +110,13 @@ def render(
         )
         # NaN hygiene for inactive rows (mirrors the XLA path's slot zeroing)
         feat_eff = jnp.where(prep.valid[:, None], features, 0.0)
-        packed = pack_rows(prep.xy, prep.conic, opa_eff, feat_eff)  # (N, PACK)
+        aux = None
+        if mean2d_offset is not None:
+            # CUDA dL_dmean2D units: pixel grads x (0.5W, 0.5H)
+            aux = mean2d_offset * jnp.asarray(
+                [0.5 * width, 0.5 * height], dtype=jnp.float32
+            )
+        packed = pack_rows(prep.xy, prep.conic, opa_eff, feat_eff, aux=aux)
         n, pack = packed.shape
         r_max = config.max_tiles_per_gaussian
         pair_rows = jnp.broadcast_to(packed[:, None, :], (n, r_max, pack)).reshape(
@@ -119,11 +129,11 @@ def render(
         rows_t = rows_paged.T
         interpret = jax.default_backend() != "tpu"
         max_chunks = config.max_pairs_per_tile // config.chunk
-        out_t, trans_tiles = composite_pairs(
+        tiles, tiles_photo, trans_tiles = composite_pairs(
             rows_t, binning.starts, binning.counts, grid_w, grid_h, ts,
-            config.chunk, max_chunks, interpret,
+            config.chunk, max_chunks, num_channels, interpret,
         )
-        tiles = out_t[..., :num_channels]
+        image_photo = assemble_image(tiles_photo, grid_w, grid_h, ts, height, width)
     else:
         binning = bin_gaussians(
             prep.rect,
@@ -152,9 +162,15 @@ def render(
     final_t = assemble_image(trans_tiles, grid_w, grid_h, ts, height, width)
     if bg is not None:
         image = image + final_t[..., None] * bg
+        if image_photo is not None:
+            image_photo = image_photo + final_t[..., None] * bg
 
     return {
         "render": image,
+        # identical values to "render"; photometric losses must be computed
+        # from this view so the dual-cotangent backward can split the
+        # viewspace statistics (pallas path only; equals "render" otherwise)
+        "render_photo": image_photo if image_photo is not None else image,
         "final_T": final_t,
         "radii": prep.radius,
         "visibility_filter": prep.radius > 0,

@@ -135,17 +135,26 @@ def render_loss_and_grads(render_inputs_fn, params, camera, active, opt_cfg,
             overflow_pairs=out["overflow_pairs"],
             overflow_tiles=out["overflow_tiles"],
         )
-        return out["render"], aux
+        # two views of the same render: photometric losses read the second so
+        # the pallas dual-cotangent backward can split the viewspace stats
+        return (out["render"], out["render_photo"]), aux
 
-    channels, vjp_fn, aux = jax.vjp(channels_fn, params, offset0, has_aux=True)
+    (channels, channels_photo), vjp_fn, aux = jax.vjp(
+        channels_fn, params, offset0, has_aux=True
+    )
     (photo_loss, photo_parts), g_photo = jax.value_and_grad(
         lambda ch: _photometric_loss(ch, camera, opt_cfg), has_aux=True
-    )(channels)
+    )(channels_photo)
     (aux_loss, aux_parts), g_aux = jax.value_and_grad(
         lambda ch: _auxiliary_loss(ch, camera, opt_cfg), has_aux=True
     )(channels)
-    param_grads, _ = vjp_fn(g_photo + g_aux)
-    _, offset_grad = vjp_fn(g_photo)
+    param_grads, offset_grad = vjp_fn((g_aux, g_photo))
+    if not raster_cfg.use_pallas:
+        # XLA path: "render_photo" aliases "render", so the joint pull gives
+        # total-loss offset grads; pull once more for the photometric-only
+        # viewspace statistics (the pallas path gets them from the aux rows
+        # of the same backward — no second pull)
+        _, offset_grad = vjp_fn((jnp.zeros_like(g_aux), g_photo))
     loss = photo_loss + aux_loss
     aux = dict(
         loss_dict={**photo_parts, **aux_parts},

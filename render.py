@@ -52,9 +52,15 @@ def render_sets(args):
     model = scene.gaussians
     is_hair = isinstance(model, HairModel)
     cameras = scene.get_cameras()
+    import jax
+
+    use_pallas = rt.use_pallas
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
     cfg = RasterConfig(max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
                        max_pairs_per_tile=rt.max_pairs_per_tile,
-                       chunk=rt.composite_chunk)
+                       chunk=rt.composite_chunk,
+                       use_pallas=bool(use_pallas) and use_pallas != "false")
 
     out_root = args.model_path
     it = scene.loaded_iter

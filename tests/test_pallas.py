@@ -42,6 +42,63 @@ class TestPallasForward:
                                    np.asarray(out_x["render"]), atol=3e-5)
 
 
+class TestDualCotangent:
+    def test_trainer_grads_and_stats_match_xla(self):
+        """The single-pull pallas backward must reproduce both the total-loss
+        parameter gradients AND the photometric-only viewspace stats that the
+        XLA path obtains with two VJP pulls."""
+        import dataclasses as dc
+
+        from hairgs_tpu.config import OptimizationConfig
+        from hairgs_tpu.models.gaussian import gaussian_render_inputs
+        from hairgs_tpu.train.trainer import render_loss_and_grads
+
+        scene = make_scene(n=30, opacity_max=0.8)
+        cam, (means, scales, q, opacity, features) = scene
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+        mask = jnp.asarray((rng.uniform(0, 1, (HEIGHT, WIDTH)) > 0.5).astype(np.float32))
+        orient = jnp.asarray(rng.uniform(0, np.pi, (HEIGHT, WIDTH)).astype(np.float32))
+        conf = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH)).astype(np.float32))
+        cam = cam._replace(image=img, mask=mask, orientation=orient, confidence=conf)
+
+        from hairgs_tpu.models.gaussian import GaussianParams
+
+        params = GaussianParams(
+            xyz=means,
+            features_dc=((features - 0.5) / 0.28209479177387814)[:, None, :],
+            features_rest=jnp.zeros((30, 0, 3)),
+            scaling=jnp.log(scales),
+            rotation=q,
+            opacity=jnp.log(opacity / (1 - opacity))[:, None],
+            mask=jnp.zeros((30, 1)),
+        )
+        active = jnp.ones(30, dtype=bool)
+        opt_cfg = OptimizationConfig()
+
+        results = {}
+        for name, cfg in (("xla", XLA_CFG), ("pallas", PL_CFG)):
+            loss, grads, offset_grad, aux = render_loss_and_grads(
+                lambda p: gaussian_render_inputs(p, cam.cam_center, 0),
+                params, cam, active, opt_cfg, cfg, WIDTH, HEIGHT,
+            )
+            results[name] = (float(loss), grads, np.asarray(offset_grad))
+
+        np.testing.assert_allclose(results["xla"][0], results["pallas"][0],
+                                   rtol=1e-4)
+        for gx, gp in zip(jax.tree.leaves(results["xla"][1]),
+                          jax.tree.leaves(results["pallas"][1])):
+            if np.asarray(gx).size == 0:
+                continue
+            scale = max(np.abs(np.asarray(gx)).max(), 1e-4)
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                       atol=3e-3 * scale, rtol=3e-3)
+        ox, op_ = results["xla"][2], results["pallas"][2]
+        assert np.abs(ox).max() > 0
+        np.testing.assert_allclose(op_, ox, atol=3e-3 * max(np.abs(ox).max(), 1e-4),
+                                   rtol=3e-3)
+
+
 class TestPallasBackward:
     def test_grads_match_xla(self):
         scene = make_scene(n=40, opacity_max=0.8)

@@ -73,10 +73,14 @@ def training(mp, op, gp, rt, args):
 
     cameras = scene.get_cameras()
     height, width = cameras[0].height, cameras[0].width
+    use_pallas = rt.use_pallas
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
     raster_cfg = RasterConfig(
         max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
         max_pairs_per_tile=rt.max_pairs_per_tile,
         chunk=rt.composite_chunk,
+        use_pallas=bool(use_pallas) and use_pallas != "false",
     )
 
     def run_eval():
