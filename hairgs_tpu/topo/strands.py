@@ -135,6 +135,36 @@ def update_strand_root(model, dist_th: float = 1e-2):
     model.strand_root_endpoint_idx = np.nonzero(mask)[0].astype(np.int64)
 
 
+def magnet_indices(model, max_endpoints: Optional[int] = None):
+    """Free strand endpoints + the other end of each tip's OWN segment for
+    the magnet loss (loss/losses.py:117-126 pairs the tips with their
+    *segment* complementary, which defines the tip direction), padded for the
+    jitted step."""
+    arrays = model.host_arrays()
+    pairs = arrays["endpoint_pairs"].astype(np.int64)
+    ids_all, counts = np.unique(pairs, return_counts=True)
+    tips = ids_all[counts == 1].astype(np.int32)
+    # segment complementary: the other column of the single row holding a tip
+    mapping = -np.ones(int(pairs.max()) + 1, dtype=np.int64)
+    rows = np.arange(pairs.shape[0])
+    mapping[pairs[:, 0]] = rows
+    mapping[pairs[:, 1]] = rows
+    row = mapping[tips]
+    sel = pairs[row]
+    comp = np.where(sel[:, 1] == tips, sel[:, 0], sel[:, 1]).astype(np.int32)
+    m = tips.shape[0]
+    if max_endpoints is None:
+        max_endpoints = max(256, ((m + 255) // 256) * 256)
+    assert m <= max_endpoints
+    out_ids = np.zeros(max_endpoints, np.int32)
+    out_comp = np.zeros(max_endpoints, np.int32)
+    out_ids[:m] = tips
+    out_comp[:m] = comp
+    valid = np.zeros(max_endpoints, bool)
+    valid[:m] = True
+    return out_ids, out_comp, valid
+
+
 def smooth_pair_indices(info: StrandsInfo, max_pairs: Optional[int] = None):
     """Consecutive-segment endpoint index pairs for the smoothness loss
     (c_utils.pyx:83-127 filter_strand_list_segments): for every strand with

@@ -235,16 +235,20 @@ def make_hair_train_step(
     spatial_lr_scale: float = 1.0,
     dist_to_scale_factor: float,
     use_smooth: bool = True,
+    use_magnet: bool = False,
 ):
     """Build the jitted Stage-III train step.
 
     Extra args vs Stage I: the (non-differentiable) segment graph, and the
     consecutive-segment index pairs for the smoothness regularizer (constant
-    between topology changes, recomputed host-side after each).
+    between topology changes, recomputed host-side after each). With
+    use_magnet, magnet_idx = (strand_endpoint_ids, complementary_ids, valid)
+    from topo.strands.magnet_indices must be passed as well.
     """
 
     @jax.jit
-    def step_fn(params, graph, stats, opt_state, camera, step, smooth_pairs, smooth_valid):
+    def step_fn(params, graph, stats, opt_state, camera, step, smooth_pairs,
+                smooth_valid, magnet_idx=None):
         def one_view(cam):
             return render_loss_and_grads(
                 lambda p: hair_render_inputs(p, graph, cam.cam_center,
@@ -266,6 +270,22 @@ def make_hair_train_step(
             grads = _tree_add(grads, smooth_grads)
             aux["loss_dict"] = dict(aux["loss_dict"],
                                     smooth=smooth_loss / opt_cfg.lambda_smooth)
+
+        if use_magnet and opt_cfg.lambda_magnet > 0 and magnet_idx is not None:
+            from hairgs_tpu.losses.strand import strand_joints_magnet_loss
+
+            m_ids, m_comp, m_valid = magnet_idx
+
+            def magnet_fn(p):
+                return opt_cfg.lambda_magnet * strand_joints_magnet_loss(
+                    p.endpoints, m_ids, m_comp, m_valid
+                )
+
+            magnet_loss, magnet_grads = jax.value_and_grad(magnet_fn)(params)
+            loss = loss + magnet_loss
+            grads = _tree_add(grads, magnet_grads)
+            aux["loss_dict"] = dict(aux["loss_dict"],
+                                    magnet=magnet_loss / opt_cfg.lambda_magnet)
 
         stats = _update_stats(stats, aux["radii"], offset_grad, graph.seg_active)
         lr_tree = hair_lr_tree(opt_cfg, step, spatial_lr_scale)

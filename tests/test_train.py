@@ -166,6 +166,44 @@ class TestTrainStep:
         np.testing.assert_array_equal(before, after)
 
 
+class TestHairStep:
+    def test_hair_step_with_all_regularizers(self):
+        import jax.numpy as jnp
+
+        from tests.test_topo import make_hair_model, two_strands
+        from hairgs_tpu.core.camera import make_camera
+        from hairgs_tpu.topo.strands import magnet_indices, smooth_pair_indices
+        from hairgs_tpu.train.trainer import make_hair_train_step
+
+        eps, pairs = two_strands()
+        eps = eps * 20  # scale up so segments are a few pixels on screen
+        eps[:, 2] += 3.0
+        opt = dataclasses.replace(OptimizationConfig(), lambda_magnet=1.0)
+        m = make_hair_model(eps, pairs, cfg=opt, width=0.02)
+        cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=1.0)
+        rng = np.random.default_rng(0)
+        cam = cam._replace(
+            image=jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32)),
+            mask=jnp.asarray((rng.uniform(0, 1, (H, W)) > 0.5).astype(np.float32)),
+            orientation=jnp.asarray(rng.uniform(0, np.pi, (H, W)).astype(np.float32)),
+            confidence=jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32)),
+        )
+        sp, sv = smooth_pair_indices(m.strands_info)
+        mi = magnet_indices(m)
+        step_fn = make_hair_train_step(
+            opt, CFG, width=W, height=H, active_sh_degree=0,
+            dist_to_scale_factor=m.dist_to_scale_factor, use_magnet=True,
+        )
+        params, stats, opt_state, metrics, _ = step_fn(
+            m.params, m.graph, m.stats, m.opt_state, cam, jnp.asarray(1),
+            jnp.asarray(sp), jnp.asarray(sv),
+            magnet_idx=tuple(jnp.asarray(x) for x in mi),
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert "loss/smooth" in metrics and "loss/magnet" in metrics
+        assert np.isfinite(np.asarray(params.endpoints)).all()
+
+
 class TestDensification:
     def test_densify_runs_and_prunes(self):
         pts, colors = true_scene(n=50)

@@ -106,19 +106,27 @@ def training(mp, op, gp, rt, args):
         if is_hair:
             return make_hair_train_step(
                 op, raster_cfg, dist_to_scale_factor=model.dist_to_scale_factor,
+                use_magnet=op.lambda_magnet > 0,
                 **common,
             )
         return make_gaussian_train_step(op, raster_cfg, **common)
 
     step_fn = build_step()
 
+    from hairgs_tpu.topo.strands import magnet_indices
+
     smooth_pairs, smooth_valid = (
         smooth_pair_indices(model.strands_info) if is_hair else (None, None)
     )
+    magnet_idx = (
+        magnet_indices(model) if is_hair and op.lambda_magnet > 0 else None
+    )
 
     def refresh_smooth():
-        nonlocal smooth_pairs, smooth_valid
+        nonlocal smooth_pairs, smooth_valid, magnet_idx
         smooth_pairs, smooth_valid = smooth_pair_indices(model.strands_info)
+        if op.lambda_magnet > 0:
+            magnet_idx = magnet_indices(model)
 
     import random as pyrandom
 
@@ -204,6 +212,10 @@ def training(mp, op, gp, rt, args):
                 model.params, model.graph, model.stats, model.opt_state, cam,
                 jnp.asarray(iteration), jnp.asarray(smooth_pairs),
                 jnp.asarray(smooth_valid),
+                magnet_idx=(
+                    tuple(jnp.asarray(x) for x in magnet_idx)
+                    if magnet_idx is not None else None
+                ),
             )
         else:
             params, stats, opt_state, metrics, image = step_fn(
