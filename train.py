@@ -76,12 +76,16 @@ def training(mp, op, gp, rt, args):
     use_pallas = rt.use_pallas
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
-    raster_cfg = RasterConfig(
-        max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
-        max_pairs_per_tile=rt.max_pairs_per_tile,
-        chunk=rt.composite_chunk,
-        use_pallas=bool(use_pallas) and use_pallas != "false",
-    )
+
+    def make_raster_cfg(max_tiles):
+        return RasterConfig(
+            max_tiles_per_gaussian=max_tiles,
+            max_pairs_per_tile=rt.max_pairs_per_tile,
+            chunk=rt.composite_chunk,
+            use_pallas=bool(use_pallas) and use_pallas != "false",
+        )
+
+    raster_cfg = make_raster_cfg(rt.max_tiles_per_gaussian)
 
     def run_eval():
         if scene.gt is None:
@@ -228,10 +232,24 @@ def training(mp, op, gp, rt, args):
         info.loss = loss
         info.loss_dict = {k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")}
 
-        overflow = int(metrics["overflow_tiles"]) + int(metrics["overflow_pairs"])
-        if overflow and iteration % 100 == 0:
-            print(f"[warn] iter {iteration}: {overflow} binning overflows — "
-                  f"consider raising max_pairs_per_tile/max_tiles_per_gaussian")
+        # adaptive per-gaussian tile budget: the CUDA reference has unbounded
+        # duplicated-key lists; when our fixed budget truncates more than 1%
+        # of pairs, grow it (recompiles once per bump, capped at 64)
+        n_prims = model.num_segments if is_hair else model.count
+        overflow_pairs = int(metrics["overflow_pairs"])
+        if (
+            overflow_pairs > 0.01 * n_prims * raster_cfg.max_tiles_per_gaussian
+            and raster_cfg.max_tiles_per_gaussian < 64
+            and iteration % 50 == 0
+        ):
+            new_budget = raster_cfg.max_tiles_per_gaussian * 2
+            print(f"[raster] iter {iteration}: {overflow_pairs} truncated pairs"
+                  f" — raising max_tiles_per_gaussian to {new_budget}")
+            raster_cfg = make_raster_cfg(new_budget)
+            step_fn = build_step()
+        overflow = int(metrics["overflow_tiles"]) + overflow_pairs
+        if overflow and iteration % 100 == 0 and not gp.quiet:
+            print(f"[warn] iter {iteration}: {overflow} binning overflows")
 
         ema_loss = 0.4 * loss + 0.6 * ema_loss
         if iteration % 100 == 0 and not gp.quiet:
