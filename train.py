@@ -183,6 +183,10 @@ def training(mp, op, gp, rt, args):
 
     viewpoint_stack = []
     ema_loss = 0.0
+    from hairgs_tpu.logging_utils import Logger as _NullLogger
+
+    logging_active = type(logger) is not _NullLogger
+    report_interval = 50
     start_time = time.time()
     for iteration in range(1, op.iterations + 1):
         serve_gui(iteration)
@@ -226,36 +230,45 @@ def training(mp, op, gp, rt, args):
                 model.params, model.stats, model.opt_state, model.active, cam,
                 jnp.asarray(iteration),
             )
-        loss = float(metrics["loss"])
         model.params, model.stats, model.opt_state = params, stats, opt_state
         info.elapsed_time = (time.time() - t0) * 1000.0
-        info.loss = loss
-        info.loss_dict = {k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")}
 
-        # adaptive per-gaussian tile budget: the CUDA reference has unbounded
-        # duplicated-key lists; when our fixed budget truncates more than 1%
-        # of pairs, grow it (recompiles once per bump, capped at 64)
-        n_prims = model.num_segments if is_hair else model.count
-        overflow_pairs = int(metrics["overflow_pairs"])
-        if (
-            overflow_pairs > 0.01 * n_prims * raster_cfg.max_tiles_per_gaussian
-            and raster_cfg.max_tiles_per_gaussian < 64
-            and iteration % 50 == 0
-        ):
-            new_budget = raster_cfg.max_tiles_per_gaussian * 2
-            print(f"[raster] iter {iteration}: {overflow_pairs} truncated pairs"
-                  f" — raising max_tiles_per_gaussian to {new_budget}")
-            raster_cfg = make_raster_cfg(new_budget)
-            step_fn = build_step()
-        overflow = int(metrics["overflow_tiles"]) + overflow_pairs
-        if overflow and iteration % 100 == 0 and not gp.quiet:
-            print(f"[warn] iter {iteration}: {overflow} binning overflows")
+        # host-side scalar reads force a device sync; only do them at the
+        # reporting cadence (the reference syncs every iteration via
+        # loss.item(), train.py:160 — wasteful through a remote runtime)
+        sync_now = (
+            logging_active
+            or iteration % report_interval == 0
+            or iteration == op.iterations
+        )
+        if sync_now:
+            loss = float(metrics["loss"])
+            info.loss = loss
+            info.loss_dict = {
+                k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")
+            }
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
 
-        ema_loss = 0.4 * loss + 0.6 * ema_loss
-        if iteration % 100 == 0 and not gp.quiet:
-            n = model.num_segments if is_hair else model.count
-            print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
-                  f"prims {n}  {info.elapsed_time:.1f} ms")
+            # adaptive per-gaussian tile budget: the CUDA reference has
+            # unbounded duplicated-key lists; when our fixed budget truncates
+            # >1% of pairs, grow it (recompiles once per bump, capped at 64)
+            n_prims = model.num_segments if is_hair else model.count
+            overflow_pairs = int(metrics["overflow_pairs"])
+            if (
+                overflow_pairs > 0.01 * n_prims * raster_cfg.max_tiles_per_gaussian
+                and raster_cfg.max_tiles_per_gaussian < 64
+            ):
+                new_budget = raster_cfg.max_tiles_per_gaussian * 2
+                print(f"[raster] iter {iteration}: {overflow_pairs} truncated "
+                      f"pairs — raising max_tiles_per_gaussian to {new_budget}")
+                raster_cfg = make_raster_cfg(new_budget)
+                step_fn = build_step()
+            overflow = int(metrics["overflow_tiles"]) + overflow_pairs
+            if overflow and not gp.quiet:
+                print(f"[warn] iter {iteration}: {overflow} binning overflows")
+            if not gp.quiet and iteration % 100 == 0:
+                print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
+                      f"prims {n_prims}  {info.elapsed_time:.1f} ms")
 
         # --- topology cadence (train.py:171-200)
         topo_changed = False
