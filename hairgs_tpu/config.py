@@ -87,7 +87,9 @@ class RuntimeConfig:
     max_pairs_per_tile: int = 2048
     composite_chunk: int = 128
     capacity_round: int = 4096
-    use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere  # arena capacity bucket size
+    use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of these steps
+    debug: bool = False  # jax_debug_nans + state dump on non-finite loss  # arena capacity bucket size
 
 
 _SHORTHANDS = {"source_path": "s", "model_path": "m", "images": "i", "resolution": "r"}

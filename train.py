@@ -181,6 +181,28 @@ def training(mp, op, gp, rt, args):
             except Exception:
                 gui.conn = None
 
+    # tracing / debugging (reference has only CUDA-event timings + the
+    # rasterizer's debug snapshot dumps; SURVEY §5.1-5.2): a jax.profiler
+    # trace window and a NaN-hunt mode that dumps full state
+    if rt.debug:
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = os.path.join(args.model_path, "profile")
+    profiling = False
+
+    def check_finite(loss, iteration):
+        if rt.debug and not np.isfinite(loss):
+            dump = os.path.join(args.model_path, f"snapshot_iter{iteration}")
+            if hasattr(model, "save_checkpoint"):
+                dump += ".npz"
+                model.save_checkpoint(dump)
+            else:
+                dump += ".ply"
+                model.save_ply(dump)
+            raise FloatingPointError(
+                f"non-finite loss {loss} at iteration {iteration}; state dumped"
+                f" to {dump}"
+            )
+
     viewpoint_stack = []
     ema_loss = 0.0
     from hairgs_tpu.logging_utils import Logger as _NullLogger
@@ -189,6 +211,14 @@ def training(mp, op, gp, rt, args):
     report_interval = 50
     start_time = time.time()
     for iteration in range(1, op.iterations + 1):
+        if rt.profile_steps > 0:
+            if iteration == 2:  # skip the compile step
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            elif profiling and iteration == 2 + rt.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[profile] trace written to {profile_dir}")
         serve_gui(iteration)
         info.iter = scene.loaded_iter + iteration
         info.densification_info = {}
@@ -243,6 +273,7 @@ def training(mp, op, gp, rt, args):
         )
         if sync_now:
             loss = float(metrics["loss"])
+            check_finite(loss, iteration)
             info.loss = loss
             info.loss_dict = {
                 k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")
@@ -305,6 +336,9 @@ def training(mp, op, gp, rt, args):
             path = scene.save(iteration)
             print(f"\n[ITER {iteration}] Saved scene to {path}")
 
+    if profiling:
+        jax.profiler.stop_trace()
+        print(f"[profile] trace written to {profile_dir}")
     total = time.time() - start_time
     print(f"Training completed in {total:.1f}s "
           f"({op.iterations / max(total, 1e-9):.2f} it/s)")
