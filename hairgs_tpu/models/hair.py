@@ -235,6 +235,55 @@ class HairModel:
 
     # -- checkpoint I/O --------------------------------------------------
 
+    def save_checkpoint(self, path: str):
+        """Full optimization state incl. Adam moments + graph + strand roots
+        (npz) — goes beyond the reference's PLY checkpoints, which restart
+        optimizer moments on resume (SURVEY §5.4)."""
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        arrays = self.host_arrays()
+        mom = self.host_moments()
+        state = {f"param/{k}": v for k, v in arrays.items() if k != "endpoint_pairs"}
+        state["endpoint_pairs"] = arrays["endpoint_pairs"]
+        state.update({f"mu/{k}": v for k, v in mom["mu"].items()})
+        state.update({f"nu/{k}": v for k, v in mom["nu"].items()})
+        state["step"] = np.asarray(int(self.opt_state.step))
+        state["active_sh_degree"] = np.asarray(self.active_sh_degree)
+        state["spatial_lr_scale"] = np.asarray(self.spatial_lr_scale)
+        state["strand_root_endpoint_idx"] = (
+            self.strand_root_endpoint_idx
+            if self.strand_root_endpoint_idx is not None
+            else np.zeros(0, np.int64)
+        )
+        state["ref_strand_root"] = (
+            self.ref_strand_root if self.ref_strand_root is not None
+            else np.zeros((0, 3), np.float32)
+        )
+        np.savez(path, **state)
+
+    def load_checkpoint(self, path: str):
+        from hairgs_tpu.topo.strands import compute_strands_info
+
+        state = dict(np.load(path))
+        endpoints = state["param/endpoints"]
+        pairs = state["endpoint_pairs"]
+        seg = {
+            k.split("/", 1)[1]: v for k, v in state.items()
+            if k.startswith("param/") and k != "param/endpoints"
+        }
+        mom = {
+            "mu": {k.split("/", 1)[1]: v for k, v in state.items() if k.startswith("mu/")},
+            "nu": {k.split("/", 1)[1]: v for k, v in state.items() if k.startswith("nu/")},
+        }
+        self.install(endpoints, pairs, seg, moments=mom, step=int(state["step"]))
+        self.active_sh_degree = int(state["active_sh_degree"])
+        self.spatial_lr_scale = float(state["spatial_lr_scale"])
+        self.strand_root_endpoint_idx = state["strand_root_endpoint_idx"]
+        self.ref_strand_root = state["ref_strand_root"]
+        if self.ref_strand_root.shape[0]:
+            compute_strands_info(self)
+
     def save_ply(self, path: str):
         from hairgs_tpu.io.ply import save_hair_ply
 
