@@ -37,7 +37,7 @@ ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 ALPHA_MAX = 0.99
 PACK_BASE = 6  # x, y, a, b, c, opacity
-TILES_PER_STEP = 8
+TILES_PER_STEP = 32
 
 
 def pack_rows(xy, conic, opacity, features, aux=None):
