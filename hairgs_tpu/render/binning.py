@@ -16,6 +16,8 @@ TPU-native replacement for the CUDA pipeline in rasterizer_impl.cu:198-336
 Everything is fixed-shape so the whole render step jit-compiles once.
 """
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -150,6 +152,37 @@ def bin_gaussians_sorted(
         overflow_pairs=overflow_pairs,
         overflow_tiles=overflow_tiles,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_pairs(packed, paged_src, inv_paged, r_max):
+    """Paged pair table directly from the per-gaussian packed table.
+
+    packed: (N+1, PACK) with a trailing zero row; paged_src indexes the
+    *virtual* (N*r_max)-pair expansion, so the source gaussian is simply
+    paged_src // r_max (the zero row N falls out of N*r_max // r_max). The
+    VJP gathers slot gradients back per pair (inv_paged) and reduces over
+    each gaussian's r_max slots — no scatters, no 100MB pair-table
+    materialization in the forward."""
+    return packed[paged_src // r_max]
+
+
+def _gather_pairs_fwd(packed, paged_src, inv_paged, r_max):
+    return packed[paged_src // r_max], (inv_paged, packed.shape[0])
+
+
+def _gather_pairs_bwd(r_max, res, g):
+    inv_paged, n_plus_1 = res
+    n = n_plus_1 - 1
+    per_pair = g[inv_paged]  # (N*r_max, PACK); culled pairs hit zero slots
+    per_gauss = per_pair.reshape(n, r_max, -1).sum(axis=1)
+    d_packed = jnp.concatenate(
+        [per_gauss, jnp.zeros((1, per_gauss.shape[1]), per_gauss.dtype)], axis=0
+    )
+    return d_packed, None, None
+
+
+gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
 @jax.custom_vjp

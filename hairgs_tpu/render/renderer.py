@@ -100,7 +100,7 @@ def render(
     image_photo = None
 
     if config.use_pallas:
-        from hairgs_tpu.render.binning import bin_gaussians_sorted, permute_rows
+        from hairgs_tpu.render.binning import bin_gaussians_sorted, gather_pairs
         from hairgs_tpu.render.pallas_composite import composite_pairs, pack_rows
 
         binning = bin_gaussians_sorted(
@@ -119,13 +119,11 @@ def render(
         packed = pack_rows(prep.xy, prep.conic, opa_eff, feat_eff, aux=aux)
         n, pack = packed.shape
         r_max = config.max_tiles_per_gaussian
-        pair_rows = jnp.broadcast_to(packed[:, None, :], (n, r_max, pack)).reshape(
-            n * r_max, pack
-        )
-        pair_rows = jnp.concatenate(
-            [pair_rows, jnp.zeros((1, pack), pair_rows.dtype)], axis=0
-        )  # zero row: target of padding slots
-        rows_paged = permute_rows(pair_rows, binning.paged_src, binning.inv_paged)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((1, pack), packed.dtype)], axis=0
+        )  # zero row: target of padding slots (virtual index n*r_max)
+        rows_paged = gather_pairs(packed, binning.paged_src, binning.inv_paged,
+                                  r_max)
         rows_t = rows_paged.T
         interpret = jax.default_backend() != "tpu"
         max_chunks = config.max_pairs_per_tile // config.chunk
