@@ -437,6 +437,22 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
     pix = tile_size * tile_size
     pack = rows.shape[0]
     tps = TILES_PER_STEP
+
+    # the forward stopped once transmittance saturated; chunks past that
+    # point carry zero gradients (drows is zero-initialized), so clamp the
+    # backward's per-tile counts to the chunks the forward actually computed:
+    # chunk j ran iff its START transmittance still had a live pixel
+    nt_pad0 = tstarts.shape[0] // max_chunks
+    chunk_live = (
+        tstarts.reshape(nt_pad0, max_chunks, pix).max(axis=2) >= T_EPS
+    )[:nt]
+    j_ids = jnp.arange(max_chunks, dtype=jnp.int32)[None, :]
+    nchunks = (counts + chunk - 1) // chunk  # (nt,)
+    live_chunks = jnp.sum(
+        chunk_live & (j_ids < nchunks[:, None]), axis=1
+    ).astype(jnp.int32)
+    counts = jnp.minimum(counts, live_chunks * chunk)
+
     starts, counts, nt_pad = _pad_tiles(starts, counts, nt, tps)
     if nt_pad != nt:
         pad = nt_pad - nt
