@@ -17,7 +17,7 @@ artifacts the user downloads from flame.is.tue.mpg.de).
 """
 
 import pickle
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

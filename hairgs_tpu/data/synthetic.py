@@ -30,7 +30,6 @@ from hairgs_tpu.core.transforms import quaternion_between_vectors
 from hairgs_tpu.data.cameras import generate_cameras
 from hairgs_tpu.io.colmap import (
     generate_colmap_data,
-    qvec2rotmat,
     write_cameras_binary,
     write_images_binary,
     write_points3D_binary,

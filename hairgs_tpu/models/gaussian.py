@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hairgs_tpu.core.maths import MIN_VAL, inverse_sigmoid, pval_to_dist_to_scale_factor
+from hairgs_tpu.core.maths import inverse_sigmoid, pval_to_dist_to_scale_factor
 from hairgs_tpu.core.sh import RGB2SH
 from hairgs_tpu.core.transforms import build_rotation
 from hairgs_tpu.optim import AdamState, adam_init

@@ -4,7 +4,6 @@ per-channel (grouped) convolution, C1=0.01^2, C2=0.03^2.
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -11,14 +11,10 @@ parallelism of multi-view splatting; batch axis is shardable over a device
 mesh (see hairgs_tpu/parallel/mesh.py).
 """
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from hairgs_tpu.core.schedules import expon_lr
-from hairgs_tpu.losses.photometric import compute_losses
 from hairgs_tpu.losses.strand import angle_smoothness_loss
 from hairgs_tpu.models.gaussian import GaussianParams, GaussianStats, gaussian_render_inputs
 from hairgs_tpu.models.hair import HairParams, hair_render_inputs
