@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SortedBinning(NamedTuple):
@@ -93,14 +94,22 @@ def bin_gaussians_sorted(
     p_pad = paged_capacity(n, r_max, num_tiles, chunk)
     tile, overflow_pairs = _expand_pairs(rect, valid, grid_w, grid_h, r_max)
 
-    depth_rep = jnp.broadcast_to(jax.lax.stop_gradient(depth)[:, None], (n, r_max))
     flat_idx = jnp.arange(p, dtype=jnp.int32)
 
-    sorted_tile, _, perm = jax.lax.sort(
-        (tile.reshape(-1), depth_rep.reshape(-1), flat_idx),
-        num_keys=2,
-        is_stable=True,
+    # fused single int32 sort key: tile in the high bits, monotonically
+    # quantized depth in the low bits (the CUDA [tile|float-depth-bits] key,
+    # rasterizer_impl.cu:70-111, uses 32 depth bits; ~19 bits at 1000^2 keeps
+    # the same order except exact near-ties, which fall back to stable pair
+    # order). One sorted operand instead of two keys ~halves sort traffic.
+    depth_bits = max(1, min(23, int(np.floor(np.log2(2**31 / (num_tiles + 1))))))
+    levels = (1 << depth_bits) - 1
+    d = jax.lax.stop_gradient(depth)
+    dq = (jnp.clip(d / (d + 1.0), 0.0, 1.0) * levels).astype(jnp.int32)
+    key = tile * (levels + 1) + dq[:, None]
+    sorted_key, perm = jax.lax.sort(
+        (key.reshape(-1), flat_idx), num_keys=1, is_stable=True
     )
+    sorted_tile = sorted_key // (levels + 1)
 
     tile_ids = jnp.arange(num_tiles, dtype=sorted_tile.dtype)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
