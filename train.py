@@ -326,6 +326,29 @@ def training(mp, op, gp, rt, args):
         if is_hair and topo_changed:
             refresh_smooth()
 
+        # --- 2D visualization grid (train.py:206-219; logged, not imshown —
+        # set gp.vis2d with a display attached for the cv2 window)
+        if iteration % gp.update_vis2d_frequency == 0:
+            from hairgs_tpu.visualization import create_subplots_from_dict
+
+            imgs = {
+                "render": (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8),
+                "gt": (np.clip(np.asarray(cam.image), 0, 1) * 255).astype(np.uint8),
+            }
+            info.composed_image = create_subplots_from_dict(imgs, 1280, 480)
+            if gp.vis2d:
+                try:
+                    import cv2
+
+                    cv2.imshow("Image Grid",
+                               cv2.cvtColor(info.composed_image, cv2.COLOR_RGB2BGR))
+                    cv2.waitKey(1)
+                except Exception as e:
+                    print(f"[vis2d] disabled ({e})")
+                    gp.vis2d = False
+        else:
+            info.composed_image = None
+
         # --- eval / log / save
         if scene.gt is not None and (
             iteration % gp.eval_frequency == 0 or iteration == op.iterations
