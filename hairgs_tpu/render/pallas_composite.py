@@ -376,6 +376,9 @@ def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
     assert max_chunks % 8 == 0 or interpret, (
         "pallas path requires max_pairs_per_tile/chunk to be a multiple of 8"
     )
+    assert chunk % 128 == 0 or interpret, (
+        "pallas path requires chunk to be a multiple of 128 (HBM lane tiling)"
+    )
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels, pack=pack,
