@@ -209,6 +209,7 @@ def training(mp, op, gp, rt, args):
 
     logging_active = type(logger) is not _NullLogger
     report_interval = 50
+    clean_syncs = 0
     start_time = time.time()
     for iteration in range(1, op.iterations + 1):
         if rt.profile_steps > 0:
@@ -282,7 +283,10 @@ def training(mp, op, gp, rt, args):
 
             # adaptive per-gaussian tile budget: the CUDA reference has
             # unbounded duplicated-key lists; when our fixed budget truncates
-            # >1% of pairs, grow it (recompiles once per bump, capped at 64)
+            # >1% of pairs, grow it (capped at 64); after a long streak of
+            # zero overflow, shrink back toward the configured base — sort /
+            # paging volume scales linearly with the budget, and the big
+            # blurry splats of early training disappear after densification
             n_prims = model.num_segments if is_hair else model.count
             overflow_pairs = int(metrics["overflow_pairs"])
             if (
@@ -294,6 +298,21 @@ def training(mp, op, gp, rt, args):
                       f"pairs — raising max_tiles_per_gaussian to {new_budget}")
                 raster_cfg = make_raster_cfg(new_budget)
                 step_fn = build_step()
+                clean_syncs = 0
+            elif overflow_pairs == 0:
+                clean_syncs += 1
+                if (
+                    clean_syncs >= 20
+                    and raster_cfg.max_tiles_per_gaussian > rt.max_tiles_per_gaussian
+                ):
+                    new_budget = raster_cfg.max_tiles_per_gaussian // 2
+                    print(f"[raster] iter {iteration}: overflow-free — "
+                          f"shrinking max_tiles_per_gaussian to {new_budget}")
+                    raster_cfg = make_raster_cfg(new_budget)
+                    step_fn = build_step()
+                    clean_syncs = 0
+            else:
+                clean_syncs = 0
             overflow = int(metrics["overflow_tiles"]) + overflow_pairs
             if overflow and not gp.quiet:
                 print(f"[warn] iter {iteration}: {overflow} binning overflows")
