@@ -30,6 +30,76 @@ _lib.walk_strands.argtypes = [
 ]
 
 
+_lib.merge_candidates.restype = ctypes.c_int64
+_lib.merge_candidates.argtypes = [
+    ctypes.POINTER(ctypes.c_float),  # points (m,3)
+    ctypes.POINTER(ctypes.c_float),  # dirs (m,3)
+    ctypes.c_int64,  # m
+    ctypes.c_float,  # dist_th
+    ctypes.c_float,  # dir_th
+    ctypes.c_int,  # bidirectional
+    ctypes.POINTER(ctypes.c_int64),  # tips_global
+    ctypes.POINTER(ctypes.c_int64),  # comp_global
+    ctypes.POINTER(ctypes.c_int64),  # out p1
+    ctypes.POINTER(ctypes.c_int64),  # out p2
+    ctypes.POINTER(ctypes.c_float),  # out dist
+    ctypes.c_int64,  # cap
+]
+_lib.greedy_complementary_filter.restype = None
+_lib.greedy_complementary_filter.argtypes = [
+    ctypes.POINTER(ctypes.c_int64),  # pairs (k,2)
+    ctypes.c_int64,  # k
+    ctypes.POINTER(ctypes.c_int64),  # comp_map (e,)
+    ctypes.c_int64,  # e
+    ctypes.POINTER(ctypes.c_uint8),  # mask out (k,)
+]
+
+
+def merge_candidates(points, dirs, dist_th, dir_th, bidirectional,
+                     tips_global, comp_global):
+    """Grid-hash candidate search; returns (p1, p2, dist) arrays in the same
+    enumeration order as the reference's cKDTree ball query."""
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    dirs = np.ascontiguousarray(dirs, dtype=np.float32)
+    tips = np.ascontiguousarray(tips_global, dtype=np.int64)
+    comp = np.ascontiguousarray(comp_global, dtype=np.int64)
+    m = points.shape[0]
+    cap = max(1024, m * 16)
+    while True:
+        p1 = np.empty(cap, np.int64)
+        p2 = np.empty(cap, np.int64)
+        dist = np.empty(cap, np.float32)
+        n = _lib.merge_candidates(
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m, ctypes.c_float(dist_th), ctypes.c_float(dir_th),
+            int(bidirectional),
+            tips.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            p1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            p2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cap,
+        )
+        if n >= 0:
+            return p1[:n], p2[:n], dist[:n]
+        cap *= 4
+
+
+def greedy_complementary_filter(pairs, comp_map):
+    pairs = np.ascontiguousarray(pairs, dtype=np.int64)
+    comp = np.ascontiguousarray(comp_map, dtype=np.int64)
+    mask = np.empty(pairs.shape[0], np.uint8)
+    _lib.greedy_complementary_filter(
+        pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pairs.shape[0],
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        comp.shape[0],
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return mask.astype(bool)
+
+
 def walk_strands(endpoint_pairs: np.ndarray, num_endpoints: int):
     """C++-accelerated strand walk; same contract as
     hairgs_tpu.topo.strands._walk_strands_np."""

@@ -39,11 +39,29 @@ def compute_endpoint_pair_to_merge(model, max_num_nn: int = -1) -> np.ndarray:
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
 
     pts = st.endpoints[strand_endpoint_id]
+    strand_comp = info.strand_endpoint_id_to_complementary
+
+    try:
+        from hairgs_tpu.native import greedy_complementary_filter, merge_candidates
+
+        if max_num_nn <= 0:
+            sel_p1, sel_p2, dists = merge_candidates(
+                pts, d, float(dist_th), float(dir_th),
+                bool(cfg.bidirectional_merge),
+                strand_endpoint_id, strand_comp[strand_endpoint_id],
+            )
+            if sel_p1.size == 0:
+                return np.zeros((0, 2), dtype=np.int64)
+            order = np.argsort(dists, kind="stable")
+            pairs = np.stack([sel_p1[order], sel_p2[order]], axis=1)
+            pairs = st.remove_duplicate_endpoint_rows(pairs)
+            return pairs[greedy_complementary_filter(pairs, strand_comp)]
+    except ImportError:
+        pass
+
     tree = cKDTree(pts)
     neighbor_lists = tree.query_ball_point(pts, r=dist_th, workers=-1,
                                            return_sorted=True)
-
-    strand_comp = info.strand_endpoint_id_to_complementary
 
     sel_p1, sel_p2, dists = [], [], []
     n = strand_endpoint_id.shape[0]
