@@ -194,6 +194,69 @@ class TestDensification:
         np.testing.assert_allclose(st.opacity_act(), 0.01, rtol=1e-4)
 
 
+class TestNativeMerge:
+    def test_native_candidates_match_scipy(self):
+        pytest.importorskip("hairgs_tpu.native")
+        from scipy.spatial import cKDTree
+
+        from hairgs_tpu.native import greedy_complementary_filter, merge_candidates
+
+        rng = np.random.default_rng(0)
+        for trial in range(8):
+            m = int(rng.integers(5, 300))
+            pts = rng.uniform(-0.1, 0.1, (m, 3)).astype(np.float32)
+            d = rng.normal(size=(m, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            tips = rng.permutation(m * 3)[:m].astype(np.int64)
+            comp_full = np.full(3 * m, -1, np.int64)
+            perm = rng.permutation(m)
+            for i in range(0, m - 1, 2):
+                a, b = tips[perm[i]], tips[perm[i + 1]]
+                comp_full[a] = b
+                comp_full[b] = a
+            dist_th, dir_th = 0.02, float(np.cos(np.deg2rad(30)))
+            p1, p2, dist = merge_candidates(
+                pts, d, dist_th, dir_th, False, tips, comp_full[tips]
+            )
+            tree = cKDTree(pts)
+            nls = tree.query_ball_point(pts, r=dist_th, return_sorted=True)
+            rp1, rp2 = [], []
+            for i in range(m):
+                nn = np.asarray(nls[i])
+                gid = tips[i]
+                keep = (tips[nn] != comp_full[gid]) & (tips[nn] != gid)
+                nn = nn[keep]
+                if nn.size == 0:
+                    continue
+                dots = d[nn] @ (-d[i])
+                for j in nn[dots >= dir_th]:
+                    rp1.append(gid)
+                    rp2.append(tips[j])
+            assert np.array_equal(p1, np.asarray(rp1, np.int64)), trial
+            assert np.array_equal(p2, np.asarray(rp2, np.int64)), trial
+
+    def test_greedy_filter_matches_python(self):
+        pytest.importorskip("hairgs_tpu.native")
+        from hairgs_tpu.native import greedy_complementary_filter
+
+        rng = np.random.default_rng(1)
+        for trial in range(6):
+            k, e = int(rng.integers(1, 150)), 400
+            pairs = rng.integers(0, e, (k, 2)).astype(np.int64)
+            comp = rng.integers(0, e, e).astype(np.int64)
+            got = greedy_complementary_filter(pairs, comp)
+            disabled = np.zeros(e + 1, bool)
+            want = np.ones(k, bool)
+            for i in range(k):
+                a, b = pairs[i]
+                if disabled[a] or disabled[b]:
+                    want[i] = False
+                else:
+                    disabled[comp[a]] = True
+                    disabled[comp[b]] = True
+            assert np.array_equal(got, want), trial
+
+
 class TestGrowing:
     def test_tip_extension(self):
         eps, pairs = two_strands()
