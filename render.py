@@ -64,9 +64,23 @@ def render_sets(args):
 
     out_root = args.model_path
     it = scene.loaded_iter
-    sets = ["rgb", "mask", "rgb_masked", "orientation"]
+    sets = ["rgb", "mask", "rgb_masked", "orientation", "rgb_foreground"]
     for s in sets:
         os.makedirs(os.path.join(out_root, s, f"iteration_{it}"), exist_ok=True)
+
+    # foreground-only render from a CLEANED copy of the model (reference
+    # render.py renders the foreground set after clean_gaussians)
+    import copy
+
+    fg_model = copy.deepcopy(model)
+    if is_hair:
+        from hairgs_tpu.topo.graph_ops import clean_hair_gaussians
+
+        clean_hair_gaussians(fg_model)
+        fg_active = fg_model.graph.seg_active
+    else:
+        fg_model.clean_gaussians()
+        fg_active = fg_model.active
 
     for idx, cam in enumerate(cameras):
         if is_hair:
@@ -102,6 +116,18 @@ def render_sets(args):
         save("mask", np.repeat(mask[..., None], 3, axis=2))
         save("rgb_masked", rgb * binmask[..., None])
         save("orientation", orientation_to_hsv(theta, binmask.astype(np.float32)))
+
+        if is_hair:
+            fg_inputs = hair_render_inputs(
+                fg_model.params, fg_model.graph, cam.cam_center,
+                fg_model.active_sh_degree, fg_model.dist_to_scale_factor,
+            )
+        else:
+            fg_inputs = gaussian_render_inputs(fg_model.params, cam.cam_center,
+                                               fg_model.active_sh_degree)
+        fg_out = render(cam, **fg_inputs, active=fg_active, width=cam.width,
+                        height=cam.height, config=cfg)
+        save("rgb_foreground", np.clip(np.asarray(fg_out["render"][..., :3]), 0, 1))
         print(f"rendered camera {idx + 1}/{len(cameras)}")
     print(f"Render sets written under {out_root}")
 

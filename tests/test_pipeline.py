@@ -132,6 +132,19 @@ class TestFullPipeline:
         assert isinstance(model3, HairModel)
         assert model3.num_segments > 0
 
+        # ---- Offline render sets (render.py driver)
+        from render import render_sets
+
+        args_r = make_args(dataset, model_path, opt3)
+        render_sets(args_r)
+        out_png = os.path.join(model_path, "rgb_foreground",
+                               f"iteration_{scene3.loaded_iter + 30}")
+        assert os.path.isdir(os.path.join(model_path, "rgb"))
+        assert any(
+            os.scandir(os.path.join(model_path, "rgb_foreground",
+                                    os.listdir(os.path.join(model_path, "rgb_foreground"))[0]))
+        )
+
         # ---- Eval
         pred = compute_eval_data_from_hair(model3)
         gt = scene3.gt
