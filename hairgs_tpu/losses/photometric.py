@@ -64,7 +64,11 @@ def orientation_loss_from_channels(orient_world, camera):
     theta = jnp.arctan2(x, y)
     theta = jnp.where(theta < 0, theta + jnp.pi, theta)
     diff = bidirectional_angle_difference(theta, camera.orientation)
-    weighted = diff * camera.confidence
+    confidence = (
+        camera.confidence if camera.confidence is not None
+        else jnp.ones_like(diff)
+    )
+    weighted = diff * confidence
     if camera.mask is not None:
         sel = camera.mask
     else:
