@@ -396,7 +396,9 @@ if __name__ == "__main__":
     add_config_args(parser, RuntimeConfig)
     args = parser.parse_args(sys.argv[1:])
     prepare_output_path(args)
-    np.random.seed(0)
+    from hairgs_tpu.system import safe_state
+
+    safe_state(getattr(args, "quiet", False))
     training(
         extract_config(args, ModelConfig),
         extract_config(args, OptimizationConfig),
