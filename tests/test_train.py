@@ -245,3 +245,49 @@ class TestDensification:
         np.testing.assert_allclose(opa, 0.01, rtol=1e-4)
         # moments zeroed for opacity only
         assert float(jnp.abs(model.opt_state.mu.opacity).max()) == 0.0
+
+
+class TestTileBudgetController:
+    """Adaptive tile-budget state machine (train.TileBudgetController)."""
+
+    def _ctl(self, base=16):
+        from train import TileBudgetController
+
+        return TileBudgetController(base)
+
+    def test_grows_on_large_overflow(self):
+        ctl = self._ctl(16)
+        # >1% of n_prims * budget truncated -> double
+        assert ctl.update(overflow_pairs=200, n_prims=1000, budget=16) == 32
+        assert ctl.update(overflow_pairs=600, n_prims=1000, budget=32) == 64
+
+    def test_capped_at_64(self):
+        ctl = self._ctl(16)
+        assert ctl.update(overflow_pairs=10**6, n_prims=1000, budget=64) is None
+
+    def test_small_overflow_tolerated(self):
+        ctl = self._ctl(16)
+        # below the 1% threshold: keep the budget (CUDA parity is bounded
+        # by the 3-sigma rect anyway; a few clipped pairs are invisible)
+        assert ctl.update(overflow_pairs=100, n_prims=1000, budget=16) is None
+
+    def test_shrinks_after_streak_and_not_below_base(self):
+        ctl = self._ctl(16)
+        assert ctl.update(10**6, 1000, 16) == 32
+        for _ in range(19):
+            assert ctl.update(0, 1000, 32) is None
+        assert ctl.update(0, 1000, 32) == 16
+        # at the configured base: never shrink further
+        for _ in range(40):
+            assert ctl.update(0, 1000, 16) is None
+
+    def test_overflow_resets_streak(self):
+        ctl = self._ctl(16)
+        assert ctl.update(10**6, 1000, 16) == 32
+        for _ in range(19):
+            assert ctl.update(0, 1000, 32) is None
+        # a single non-zero overflow (even sub-threshold) restarts the streak
+        assert ctl.update(1, 1000, 32) is None
+        for _ in range(19):
+            assert ctl.update(0, 1000, 32) is None
+        assert ctl.update(0, 1000, 32) == 16

@@ -32,6 +32,41 @@ from hairgs_tpu.config import (
 )
 
 
+class TileBudgetController:
+    """Adaptive per-gaussian tile budget.
+
+    The CUDA reference duplicates one sort key per touched tile into an
+    unbounded arena (rasterizer_impl.cu:277-308); our fixed-shape pair table
+    caps tiles-per-gaussian instead. This controller grows the cap (×2 up to
+    `cap`) when a sync observes >`grow_frac` of the pair budget truncated, and
+    shrinks it back toward the configured base after `shrink_after`
+    consecutive overflow-free syncs — sort/paging volume scales linearly with
+    the cap, and the big blurry splats of early training disappear after
+    densification. Each change recompiles the step, so hysteresis matters.
+    """
+
+    def __init__(self, base, cap=64, grow_frac=0.01, shrink_after=20):
+        self.base = base
+        self.cap = cap
+        self.grow_frac = grow_frac
+        self.shrink_after = shrink_after
+        self.clean_syncs = 0
+
+    def update(self, overflow_pairs, n_prims, budget):
+        """Returns the new budget, or None when no change is needed."""
+        if overflow_pairs > self.grow_frac * n_prims * budget and budget < self.cap:
+            self.clean_syncs = 0
+            return min(budget * 2, self.cap)
+        if overflow_pairs == 0:
+            self.clean_syncs += 1
+            if self.clean_syncs >= self.shrink_after and budget > self.base:
+                self.clean_syncs = 0
+                return budget // 2
+        else:
+            self.clean_syncs = 0
+        return None
+
+
 def prepare_output_path(args):
     """utils/system.py:41-54 — default ./output/<uuid>, persist cfg_args."""
     if not args.model_path:
@@ -209,7 +244,7 @@ def training(mp, op, gp, rt, args):
 
     logging_active = type(logger) is not _NullLogger
     report_interval = 50
-    clean_syncs = 0
+    budget_ctl = TileBudgetController(rt.max_tiles_per_gaussian)
     start_time = time.time()
     for iteration in range(1, op.iterations + 1):
         if rt.profile_steps > 0:
@@ -281,38 +316,18 @@ def training(mp, op, gp, rt, args):
             }
             ema_loss = 0.4 * loss + 0.6 * ema_loss
 
-            # adaptive per-gaussian tile budget: the CUDA reference has
-            # unbounded duplicated-key lists; when our fixed budget truncates
-            # >1% of pairs, grow it (capped at 64); after a long streak of
-            # zero overflow, shrink back toward the configured base — sort /
-            # paging volume scales linearly with the budget, and the big
-            # blurry splats of early training disappear after densification
             n_prims = model.num_segments if is_hair else model.count
             overflow_pairs = int(metrics["overflow_pairs"])
-            if (
-                overflow_pairs > 0.01 * n_prims * raster_cfg.max_tiles_per_gaussian
-                and raster_cfg.max_tiles_per_gaussian < 64
-            ):
-                new_budget = raster_cfg.max_tiles_per_gaussian * 2
+            new_budget = budget_ctl.update(
+                overflow_pairs, n_prims, raster_cfg.max_tiles_per_gaussian
+            )
+            if new_budget is not None:
+                verb = ("raising" if new_budget > raster_cfg.max_tiles_per_gaussian
+                        else "shrinking")
                 print(f"[raster] iter {iteration}: {overflow_pairs} truncated "
-                      f"pairs — raising max_tiles_per_gaussian to {new_budget}")
+                      f"pairs — {verb} max_tiles_per_gaussian to {new_budget}")
                 raster_cfg = make_raster_cfg(new_budget)
                 step_fn = build_step()
-                clean_syncs = 0
-            elif overflow_pairs == 0:
-                clean_syncs += 1
-                if (
-                    clean_syncs >= 20
-                    and raster_cfg.max_tiles_per_gaussian > rt.max_tiles_per_gaussian
-                ):
-                    new_budget = raster_cfg.max_tiles_per_gaussian // 2
-                    print(f"[raster] iter {iteration}: overflow-free — "
-                          f"shrinking max_tiles_per_gaussian to {new_budget}")
-                    raster_cfg = make_raster_cfg(new_budget)
-                    step_fn = build_step()
-                    clean_syncs = 0
-            else:
-                clean_syncs = 0
             overflow = int(metrics["overflow_tiles"]) + overflow_pairs
             if overflow and not gp.quiet:
                 print(f"[warn] iter {iteration}: {overflow} binning overflows")
