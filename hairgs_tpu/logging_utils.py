@@ -22,6 +22,8 @@ class TrainingInfo:
     densification_info: Dict[str, int] = dataclasses.field(default_factory=dict)
     eval_metrics: Optional[Dict[str, np.ndarray]] = None
     eval_thresholds: Optional[List[str]] = None
+    train_psnr: Optional[float] = None
+    image_metrics: Optional[Dict[str, float]] = None
     composed_image: Optional[np.ndarray] = None
     pred: Optional[Any] = None
 
@@ -71,6 +73,10 @@ class TensorBoardLogger(Logger):
             for name, values in info.eval_metrics.items():
                 for th, value in zip(info.eval_thresholds, values):
                     w.add_scalar(f"eval/{name}@{th}", float(value), it)
+        if info.train_psnr is not None:
+            w.add_scalar("general/train_psnr", float(info.train_psnr), it)
+        for k, v in (info.image_metrics or {}).items():
+            w.add_scalar(f"eval/{k}", float(v), it)
         if info.composed_image is not None:
             w.add_image("render/grid", info.composed_image, it, dataformats="HWC")
 
@@ -97,6 +103,10 @@ class WandbLogger(Logger):
             for name, values in info.eval_metrics.items():
                 for th, value in zip(info.eval_thresholds, values):
                     payload[f"eval/{name}@{th}"] = float(value)
+        if info.train_psnr is not None:
+            payload["general/train_psnr"] = float(info.train_psnr)
+        for k, v in (info.image_metrics or {}).items():
+            payload[f"eval/{k}"] = float(v)
         self.wandb.log(payload, step=info.iter)
 
 

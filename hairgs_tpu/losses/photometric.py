@@ -28,6 +28,24 @@ def l2_loss(a, b):
     return jnp.mean((a - b) ** 2)
 
 
+def psnr(a, b):
+    """Peak signal-to-noise ratio in dB for [0,1]-range images:
+    -10*log10(MSE). The headline image-quality acceptance metric (the
+    reference repo never computes it; the standard 3DGS eval does)."""
+    mse = jnp.mean((a - b) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def masked_psnr(a, b, mask):
+    """PSNR restricted to mask>0 pixels (hair region); mask is (H,W) for
+    (H,W,C) images."""
+    if mask.ndim == a.ndim - 1:
+        mask = mask[..., None]
+    denom = jnp.maximum(jnp.sum(mask) * (a.shape[-1] / mask.shape[-1]), 1.0)
+    mse = jnp.sum(((a - b) ** 2) * mask) / denom
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
 def bce_with_logits(logits, targets):
     """torch.nn.BCEWithLogitsLoss (mean reduction)."""
     return jnp.mean(

@@ -29,6 +29,21 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_view_mesh(view_batch: int, mesh_data_axis: int = 0) -> Optional[Mesh]:
+    """Mesh for the train driver's view-batch DP, or None when one device
+    suffices. Uses the largest device count <= min(local devices, view_batch)
+    that divides view_batch (even shards keep shapes static under jit)."""
+    if view_batch <= 1:
+        return None
+    n = mesh_data_axis if mesh_data_axis > 0 else min(len(jax.devices()), view_batch)
+    n = min(n, len(jax.devices()), view_batch)
+    while view_batch % n:
+        n -= 1
+    if n <= 1:
+        return None
+    return make_mesh(n)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
@@ -69,15 +84,17 @@ def make_sharded_hair_step(step_fn, mesh: Mesh, axis_name: str = "data"):
     repl = NamedSharding(mesh, P())
 
     def wrapped(params, graph, stats, opt_state, camera_batch, step,
-                smooth_pairs, smooth_valid):
+                smooth_pairs, smooth_valid, magnet_idx=None):
         params = jax.device_put(params, repl)
         graph = jax.device_put(graph, repl)
         stats = jax.device_put(stats, repl)
         opt_state = jax.device_put(opt_state, repl)
         smooth_pairs = jax.device_put(smooth_pairs, repl)
         smooth_valid = jax.device_put(smooth_valid, repl)
+        if magnet_idx is not None:
+            magnet_idx = jax.device_put(magnet_idx, repl)
         camera_batch = shard_view_batch(camera_batch, mesh, axis_name)
         return step_fn(params, graph, stats, opt_state, camera_batch, step,
-                       smooth_pairs, smooth_valid)
+                       smooth_pairs, smooth_valid, magnet_idx=magnet_idx)
 
     return wrapped

@@ -63,12 +63,23 @@ def hair_lr_tree(opt_cfg, step, spatial_lr_scale):
 
 def _update_stats(stats: GaussianStats, radii, offset_grad, active):
     """Densification statistics (scene/gaussian_model.py:675-682):
-    max screen radius, accumulated viewspace-gradient norm, visit count."""
-    vis = (radii > 0) & active
-    max_radii2d = jnp.where(vis, jnp.maximum(stats.max_radii2d, radii), stats.max_radii2d)
-    gnorm = jnp.linalg.norm(offset_grad[:, :2], axis=-1, keepdims=True)
-    xyz_grad_accum = stats.xyz_grad_accum + jnp.where(vis[:, None], gnorm, 0.0)
-    denom = stats.denom + vis[:, None].astype(stats.denom.dtype)
+    max screen radius, accumulated viewspace-gradient norm, visit count.
+
+    Accepts per-view batched inputs (radii (B,N), offset_grad (B,N,2)): a
+    K-view step then accumulates exactly like K reference iterations — one
+    gradient-norm + visit count per visible view, NOT the norm of the view
+    mean (which under-counts through cancellation)."""
+    if radii.ndim == 1:
+        radii = radii[None]
+        offset_grad = offset_grad[None]
+    vis = (radii > 0) & active[None]  # (B, N)
+    best = jnp.max(jnp.where(vis, radii, 0), axis=0)
+    max_radii2d = jnp.maximum(stats.max_radii2d, best)
+    gnorm = jnp.linalg.norm(offset_grad[..., :2], axis=-1, keepdims=True)  # (B,N,1)
+    xyz_grad_accum = stats.xyz_grad_accum + jnp.sum(
+        jnp.where(vis[..., None], gnorm, 0.0), axis=0
+    )
+    denom = stats.denom + jnp.sum(vis[..., None], axis=0).astype(stats.denom.dtype)
     return GaussianStats(max_radii2d=max_radii2d, xyz_grad_accum=xyz_grad_accum, denom=denom)
 
 
@@ -77,14 +88,16 @@ def _photometric_loss(channels, camera, opt_cfg):
     the reference (train.py:173-177 reads the grad of the *first* render's
     screenspace tensor; the mask/orientation re-renders have their own,
     discarded, screenspace tensors)."""
-    from hairgs_tpu.losses.photometric import l1_loss
+    from hairgs_tpu.losses.photometric import l1_loss, psnr
     from hairgs_tpu.ops.ssim import ssim
 
     image = channels[..., :3]
     l1 = l1_loss(image, camera.image)
     dssim = 1.0 - ssim(image, camera.image)
     loss = max(0.0, 1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * dssim
-    return loss, {"l1": l1, "dssim": dssim}
+    # train-view PSNR rides along as a free diagnostic (aux only, no grad)
+    train_psnr = psnr(jnp.clip(jax.lax.stop_gradient(image), 0.0, 1.0), camera.image)
+    return loss, {"l1": l1, "dssim": dssim, "psnr": train_psnr}
 
 
 def _auxiliary_loss(channels, camera, opt_cfg):
@@ -173,15 +186,16 @@ def _per_view(fn, camera):
         losses, grads, offset_grads, auxes = jax.vmap(fn)(camera)
         loss = jnp.mean(losses)
         grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads)
-        offset_grad = jnp.mean(offset_grads, axis=0)
         aux = dict(
             loss_dict=jax.tree.map(jnp.mean, auxes["loss_dict"]),
-            radii=jnp.max(auxes["radii"], axis=0),
+            # radii / offset grads stay per-view: _update_stats accumulates
+            # them like K separate reference iterations
+            radii=auxes["radii"],
             overflow_pairs=jnp.sum(auxes["overflow_pairs"]),
             overflow_tiles=jnp.sum(auxes["overflow_tiles"]),
             image=auxes["image"][0],
         )
-        return loss, grads, offset_grad, aux
+        return loss, grads, offset_grads, aux
     return fn(camera)
 
 
@@ -213,7 +227,9 @@ def make_gaussian_train_step(
         stats = _update_stats(stats, aux["radii"], offset_grad, active)
         lr_tree = gaussian_lr_tree(opt_cfg, step, spatial_lr_scale)
         params, opt_state = adam_step(params, grads, opt_state, lr_tree)
-        metrics = dict(loss=loss, **{f"loss/{k}": v for k, v in aux["loss_dict"].items()},
+        train_psnr = aux["loss_dict"].pop("psnr")
+        metrics = dict(loss=loss, psnr=train_psnr,
+                       **{f"loss/{k}": v for k, v in aux["loss_dict"].items()},
                        overflow_pairs=aux["overflow_pairs"],
                        overflow_tiles=aux["overflow_tiles"])
         return params, stats, opt_state, metrics, aux["image"]
@@ -286,7 +302,9 @@ def make_hair_train_step(
         stats = _update_stats(stats, aux["radii"], offset_grad, graph.seg_active)
         lr_tree = hair_lr_tree(opt_cfg, step, spatial_lr_scale)
         params, opt_state = adam_step(params, grads, opt_state, lr_tree)
-        metrics = dict(loss=loss, **{f"loss/{k}": v for k, v in aux["loss_dict"].items()},
+        train_psnr = aux["loss_dict"].pop("psnr")
+        metrics = dict(loss=loss, psnr=train_psnr,
+                       **{f"loss/{k}": v for k, v in aux["loss_dict"].items()},
                        overflow_pairs=aux["overflow_pairs"],
                        overflow_tiles=aux["overflow_tiles"])
         return params, stats, opt_state, metrics, aux["image"]

@@ -158,3 +158,42 @@ class TestFullPipeline:
         # NOTE: no quality bar here — at 64px one pixel covers ~11mm, far
         # coarser than the 2-4mm metric thresholds; quality is validated by
         # the benchmark at realistic resolution on TPU.
+
+
+class TestViewBatchDriver:
+    """Driver-path view-batch DP (SURVEY §2.3): `--view_batch K` must train
+    with the camera minibatch actually device-split over the mesh."""
+
+    def test_view_batch_trains_sharded(self, dataset, tmp_path, monkeypatch):
+        import hairgs_tpu.parallel.mesh as pm
+        from train import training
+
+        recorded = []
+        orig = pm.shard_view_batch
+
+        def spy(batch, mesh, axis_name="data"):
+            out = orig(batch, mesh, axis_name)
+            recorded.append(
+                (out.image.sharding.num_devices,
+                 out.image.sharding.shard_shape(out.image.shape)[0])
+            )
+            return out
+
+        monkeypatch.setattr(pm, "shard_view_batch", spy)
+
+        model_path = str(tmp_path / "run_vb")
+        opt = small_opt(16)
+        args = make_args(dataset, model_path, opt, extra={"view_batch": 4})
+        mp = ModelConfig(source_path=dataset, model_path=model_path, sh_degree=0)
+        gp = GeneralConfig(quiet=True, logger="none",
+                           save_frequency=16, eval_frequency=16)
+        rt = RuntimeConfig(capacity_round=256, max_tiles_per_gaussian=8,
+                           max_pairs_per_tile=128, composite_chunk=16,
+                           view_batch=4)
+        scene, model = training(mp, opt, gp, rt, args)
+        # 16 iterations / 4 views per step = 4 sharded steps
+        assert len(recorded) == 4
+        # 4 views split over a 4-device mesh: one view per device
+        assert all(r == (4, 1) for r in recorded)
+        assert os.path.exists(os.path.join(
+            model_path, "point_cloud", "iteration_16", "point_cloud.ply"))

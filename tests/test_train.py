@@ -291,3 +291,58 @@ class TestTileBudgetController:
         for _ in range(19):
             assert ctl.update(0, 1000, 32) is None
         assert ctl.update(0, 1000, 32) == 16
+
+
+class TestPSNR:
+    def test_known_value(self):
+        from hairgs_tpu.losses.photometric import psnr
+
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.full((8, 8, 3), 0.1)
+        # mse = 0.01 -> -10*log10(0.01) = 20 dB
+        assert abs(float(psnr(a, b)) - 20.0) < 1e-4
+
+    def test_identical_images_capped(self):
+        from hairgs_tpu.losses.photometric import psnr
+
+        a = jnp.ones((4, 4, 3)) * 0.5
+        assert float(psnr(a, a)) == 120.0  # mse floor 1e-12
+
+    def test_masked_ignores_background(self):
+        from hairgs_tpu.losses.photometric import masked_psnr
+
+        a = jnp.zeros((4, 4, 3))
+        b = a.at[0, 0].set(0.1).at[3, 3].set(0.9)
+        mask = jnp.zeros((4, 4)).at[0, 0].set(1.0)
+        # only the (0,0) pixel counts: mse = 0.01 -> 20 dB
+        assert abs(float(masked_psnr(a, b, mask)) - 20.0) < 1e-4
+
+    def test_train_step_reports_psnr(self):
+        pts, colors = true_scene()
+        model = build_model(pts, colors)
+        opt = dataclasses.replace(OptimizationConfig(), lambda_mask=0.0,
+                                  lambda_orientation=0.0)
+        model.training_setup(opt)
+        cam = make_camera(np.eye(3), np.array([0.0, 0.0, 1.5]), 0.9, 0.9)
+        img = render_rgb(model, cam)
+        cam = cam._replace(image=img)
+        step = make_gaussian_train_step(
+            opt, CFG, width=W, height=H, active_sh_degree=0)
+        _, _, _, metrics, _ = step(model.params, model.stats, model.opt_state,
+                                   model.active, cam, jnp.asarray(1))
+        # the render matches GT exactly -> psnr at the 120 dB cap
+        assert float(metrics["psnr"]) > 60.0
+
+
+class TestBoolFlags:
+    def test_default_true_flag_has_no_form(self):
+        from argparse import ArgumentParser
+
+        from hairgs_tpu.config import OptimizationConfig, add_config_args
+
+        parser = ArgumentParser()
+        add_config_args(parser, OptimizationConfig)
+        args = parser.parse_args(["--no-bidirectional_eval"])
+        assert args.bidirectional_eval is False
+        args = parser.parse_args([])
+        assert args.bidirectional_eval is True

@@ -28,6 +28,7 @@ from hairgs_tpu.config import (
     RuntimeConfig,
     add_config_args,
     extract_config,
+    load_cfg_args,
     save_cfg_args,
 )
 
@@ -133,8 +134,35 @@ def training(mp, op, gp, rt, args):
         info.pred = pred
         return compute_metrics(pred=pred, gt=scene.gt, bidirectional=op.bidirectional_eval)
 
+    def run_image_eval():
+        from hairgs_tpu.evaluation.image_metrics import evaluate_image_metrics
+
+        info.image_metrics = evaluate_image_metrics(model, cameras, config=raster_cfg)
+        if info.image_metrics and not gp.quiet:
+            parts = "  ".join(f"{k} {v:.3f}" for k, v in info.image_metrics.items())
+            print(f"[eval] iter {info.iter}: {parts}")
+
     info.eval_metrics, info.eval_thresholds = run_eval()
     logger.log(info, model)
+
+    # --- view-batch data parallelism (SURVEY §2.3: per-step view minibatch
+    # sharded over the mesh "data" axis; gradients psum over ICI). Schedule
+    # semantics: a K-view step advances the iteration counter by K, so all
+    # cadences (densify/merge/save) and the total number of views seen match
+    # K reference iterations; gradients are the view MEAN (Adam's per-param
+    # normalization makes mean-vs-single-view magnitude-neutral, and the
+    # densification stats are accumulated per view, not from the mean).
+    view_batch = max(1, rt.view_batch)
+    from hairgs_tpu.parallel.mesh import (
+        make_sharded_gaussian_step,
+        make_sharded_hair_step,
+        make_view_mesh,
+    )
+
+    mesh = make_view_mesh(view_batch, rt.mesh_data_axis)
+    if view_batch > 1:
+        print(f"[parallel] view_batch={view_batch} over "
+              f"{mesh.devices.size if mesh is not None else 1} device(s)")
 
     def build_step():
         common = dict(
@@ -143,12 +171,14 @@ def training(mp, op, gp, rt, args):
             spatial_lr_scale=model.spatial_lr_scale,
         )
         if is_hair:
-            return make_hair_train_step(
+            fn = make_hair_train_step(
                 op, raster_cfg, dist_to_scale_factor=model.dist_to_scale_factor,
                 use_magnet=op.lambda_magnet > 0,
                 **common,
             )
-        return make_gaussian_train_step(op, raster_cfg, **common)
+            return make_sharded_hair_step(fn, mesh) if mesh is not None else fn
+        fn = make_gaussian_train_step(op, raster_cfg, **common)
+        return make_sharded_gaussian_step(fn, mesh) if mesh is not None else fn
 
     step_fn = build_step()
 
@@ -246,12 +276,24 @@ def training(mp, op, gp, rt, args):
     report_interval = 50
     budget_ctl = TileBudgetController(rt.max_tiles_per_gaussian)
     start_time = time.time()
-    for iteration in range(1, op.iterations + 1):
+    iteration = 0
+    prev_iter = 0
+    step_count = 0
+
+    def crossed(interval):
+        """Did this step cross an interval boundary? For view_batch=1 this is
+        exactly `iteration % interval == 0`; for K>1 each boundary fires once."""
+        return iteration // interval > prev_iter // interval
+
+    while iteration < op.iterations:
+        prev_iter = iteration
+        iteration += view_batch
+        step_count += 1
         if rt.profile_steps > 0:
-            if iteration == 2:  # skip the compile step
+            if step_count == 2:  # skip the compile step
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            elif profiling and iteration == 2 + rt.profile_steps:
+            elif profiling and step_count == 2 + rt.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[profile] trace written to {profile_dir}")
@@ -272,18 +314,30 @@ def training(mp, op, gp, rt, args):
                 max_steps=op.position_lr_max_steps,
             ))
 
-        if iteration % 1000 == 0 and model.active_sh_degree < model.max_sh_degree:
+        if crossed(1000) and model.active_sh_degree < model.max_sh_degree:
             model.oneup_sh_degree()
             step_fn = build_step()
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(cameras)
-        cam = viewpoint_stack.pop(pyrandom.randint(0, len(viewpoint_stack) - 1))
+        cams_step = []
+        for _ in range(view_batch):
+            if not viewpoint_stack:
+                viewpoint_stack = list(cameras)
+            cams_step.append(
+                viewpoint_stack.pop(pyrandom.randint(0, len(viewpoint_stack) - 1))
+            )
+        cam = cams_step[0]
+        if view_batch > 1:
+            from hairgs_tpu.core.camera import stack_cameras
+
+            cam_input = stack_cameras(cams_step)
+        else:
+            cam_input = cam
 
         t0 = time.time()
         if is_hair:
             params, stats, opt_state, metrics, image = step_fn(
-                model.params, model.graph, model.stats, model.opt_state, cam,
+                model.params, model.graph, model.stats, model.opt_state,
+                cam_input,
                 jnp.asarray(iteration), jnp.asarray(smooth_pairs),
                 jnp.asarray(smooth_valid),
                 magnet_idx=(
@@ -293,7 +347,8 @@ def training(mp, op, gp, rt, args):
             )
         else:
             params, stats, opt_state, metrics, image = step_fn(
-                model.params, model.stats, model.opt_state, model.active, cam,
+                model.params, model.stats, model.opt_state, model.active,
+                cam_input,
                 jnp.asarray(iteration),
             )
         model.params, model.stats, model.opt_state = params, stats, opt_state
@@ -304,8 +359,8 @@ def training(mp, op, gp, rt, args):
         # loss.item(), train.py:160 — wasteful through a remote runtime)
         sync_now = (
             logging_active
-            or iteration % report_interval == 0
-            or iteration == op.iterations
+            or crossed(report_interval)
+            or iteration >= op.iterations
         )
         if sync_now:
             loss = float(metrics["loss"])
@@ -314,12 +369,16 @@ def training(mp, op, gp, rt, args):
             info.loss_dict = {
                 k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")
             }
+            info.train_psnr = float(metrics["psnr"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
 
             n_prims = model.num_segments if is_hair else model.count
             overflow_pairs = int(metrics["overflow_pairs"])
+            # overflow counters are summed over the K views of a step;
+            # scale the per-view budget test accordingly
             new_budget = budget_ctl.update(
-                overflow_pairs, n_prims, raster_cfg.max_tiles_per_gaussian
+                overflow_pairs, n_prims * view_batch,
+                raster_cfg.max_tiles_per_gaussian
             )
             if new_budget is not None:
                 verb = ("raising" if new_budget > raster_cfg.max_tiles_per_gaussian
@@ -328,33 +387,39 @@ def training(mp, op, gp, rt, args):
                       f"pairs — {verb} max_tiles_per_gaussian to {new_budget}")
                 raster_cfg = make_raster_cfg(new_budget)
                 step_fn = build_step()
+                # persist the converged budget so a resumed run compiles once
+                # instead of re-walking the 16->32->64 ladder (each recompile
+                # costs minutes on the remote-compile TPU helper)
+                args.max_tiles_per_gaussian = new_budget
+                save_cfg_args(args.model_path, args)
             overflow = int(metrics["overflow_tiles"]) + overflow_pairs
             if overflow and not gp.quiet:
                 print(f"[warn] iter {iteration}: {overflow} binning overflows")
-            if not gp.quiet and iteration % 100 == 0:
+            if not gp.quiet and crossed(100):
                 print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
+                      f"psnr {info.train_psnr:.2f}  "
                       f"prims {n_prims}  {info.elapsed_time:.1f} ms")
 
         # --- topology cadence (train.py:171-200)
         topo_changed = False
         if iteration < op.densify_until_iter:
-            if iteration > op.densify_from_iter and iteration % op.densification_interval == 0:
+            if iteration > op.densify_from_iter and crossed(op.densification_interval):
                 size_th = op.prune_max_radii_2d if iteration > op.opacity_reset_interval else None
                 if is_hair:
                     hair_densification(model, scene.cameras_extent, size_th, info)
                 else:
                     model.densification(scene.cameras_extent, size_th, info)
                 topo_changed = True
-            if iteration % op.opacity_reset_interval == 0:
+            if crossed(op.opacity_reset_interval):
                 if is_hair:
                     hair_reset_opacity(model)
                 else:
                     model.reset_opacity()
         if is_hair:
-            if iteration % op.merge_interval == 0:
+            if crossed(op.merge_interval):
                 hair_merging(model, info)
                 topo_changed = True
-            if iteration % op.growth_interval == 0:
+            if crossed(op.growth_interval):
                 hair_growing(model, info)
                 topo_changed = True
         if is_hair and topo_changed:
@@ -362,7 +427,7 @@ def training(mp, op, gp, rt, args):
 
         # --- 2D visualization grid (train.py:206-219; logged, not imshown —
         # set gp.vis2d with a display attached for the cv2 window)
-        if iteration % gp.update_vis2d_frequency == 0:
+        if crossed(gp.update_vis2d_frequency):
             from hairgs_tpu.visualization import create_subplots_from_dict
 
             imgs = {
@@ -384,12 +449,14 @@ def training(mp, op, gp, rt, args):
             info.composed_image = None
 
         # --- eval / log / save
-        if scene.gt is not None and (
-            iteration % gp.eval_frequency == 0 or iteration == op.iterations
-        ):
-            info.eval_metrics, info.eval_thresholds = run_eval()
+        if crossed(gp.eval_frequency) or iteration >= op.iterations:
+            if scene.gt is not None:
+                info.eval_metrics, info.eval_thresholds = run_eval()
+            run_image_eval()
+        else:
+            info.image_metrics = None
         logger.log(info, model)
-        if iteration % gp.save_frequency == 0 or iteration == op.iterations:
+        if crossed(gp.save_frequency) or iteration >= op.iterations:
             path = scene.save(iteration)
             print(f"\n[ITER {iteration}] Saved scene to {path}")
 
@@ -398,7 +465,8 @@ def training(mp, op, gp, rt, args):
         print(f"[profile] trace written to {profile_dir}")
     total = time.time() - start_time
     print(f"Training completed in {total:.1f}s "
-          f"({op.iterations / max(total, 1e-9):.2f} it/s)")
+          f"({iteration / max(total, 1e-9):.2f} it/s, "
+          f"{step_count / max(total, 1e-9):.2f} steps/s)")
     logger.close()
     return scene, model
 
@@ -410,6 +478,14 @@ if __name__ == "__main__":
     add_config_args(parser, GeneralConfig)
     add_config_args(parser, RuntimeConfig)
     args = parser.parse_args(sys.argv[1:])
+    # resume: adopt a previously persisted (converged) tile budget unless the
+    # flag was given explicitly on this command line
+    stored = load_cfg_args(args.model_path) if args.model_path else None
+    if (stored is not None
+            and hasattr(stored, "max_tiles_per_gaussian")
+            and not any(a.startswith("--max_tiles_per_gaussian")
+                        for a in sys.argv)):
+        args.max_tiles_per_gaussian = stored.max_tiles_per_gaussian
     prepare_output_path(args)
     from hairgs_tpu.system import safe_state
 
