@@ -28,56 +28,67 @@ def pct_matched_points(
     angle_th: float,
     bidirectional: bool = False,
     compute_strand_consistency: bool = False,
+    chunk: int = 200_000,
 ) -> Tuple[float, Optional[float]]:
     """Fraction of p1 points with a (distance, angle)-matched point in p2;
-    optionally the strand-consistency score (loss/metrics.py:12-85)."""
+    optionally the strand-consistency score (loss/metrics.py:12-85).
+
+    Fully vectorized (the reference iterates point-by-point over cKDTree
+    results in a Pool of 8): p1 is processed in `chunk`-point slices to bound
+    the flattened neighbor-pair arrays at USC scale (~990k points, ~1e8
+    candidate pairs at the 4mm radius); strand votes become integer-keyed
+    (point, p2-strand) pairs reduced with unique/maximum.at."""
     cos_sim_th = np.cos(np.deg2rad(angle_th))
     n_points = p1.points.shape[0]
     tree = cKDTree(p2.points)
-    neighbor_lists = tree.query_ball_point(p1.points, r=dist_th, workers=-1)
+    matched = np.zeros(n_points, dtype=bool)
 
-    counts = np.fromiter((len(nn) for nn in neighbor_lists), dtype=np.int64,
-                         count=n_points)
-    flat_nn = np.concatenate(
-        [np.asarray(nn, dtype=np.int64) for nn in neighbor_lists if len(nn)]
-    ) if counts.sum() else np.zeros(0, dtype=np.int64)
-    owner = np.repeat(np.arange(n_points), counts)
+    if compute_strand_consistency:
+        p1_strand = np.asarray(p1.points_id_to_strand_id)
+        p2_strand = np.asarray(p2.points_id_to_strand_id, dtype=np.int64)
+        s2_base = int(p2_strand.max()) + 1
+        vote_keys = []
 
-    dots = np.einsum("ij,ij->i", p1.directions[owner], p2.directions[flat_nn])
-    if bidirectional:
-        dots = np.abs(dots)
-    good = dots >= cos_sim_th
-    matched_per_point = np.zeros(n_points, dtype=bool)
-    np.logical_or.at(matched_per_point, owner[good], True)
-    matching_ratio = matched_per_point.sum() / n_points
+    d1, d2 = p1.directions, p2.directions
+    for start in range(0, n_points, chunk):
+        stop = min(start + chunk, n_points)
+        lists = tree.query_ball_point(p1.points[start:stop], r=dist_th, workers=-1)
+        counts = np.fromiter((len(nn) for nn in lists), dtype=np.int64,
+                             count=stop - start)
+        if counts.sum() == 0:
+            continue
+        flat_nn = np.concatenate(
+            [np.asarray(nn, dtype=np.int64) for nn in lists if len(nn)]
+        )
+        owner = np.repeat(np.arange(start, stop), counts)
+        dots = np.einsum("ij,ij->i", d1[owner], d2[flat_nn])
+        if bidirectional:
+            dots = np.abs(dots)
+        good = dots >= cos_sim_th
+        matched[owner[good]] = True
+        if compute_strand_consistency and good.any():
+            # one vote per unique (p1 point, p2 strand) — the reference
+            # np.unique's the per-point strand list (loss/metrics.py:65-68)
+            key = owner[good] * s2_base + p2_strand[flat_nn[good]]
+            vote_keys.append(np.unique(key))
+
+    matching_ratio = matched.sum() / n_points
 
     strand_ratio = None
     if compute_strand_consistency:
-        # per matched p1 point: the set of p2 strand ids it matched; per p1
-        # strand: max vote share of a single p2 strand
-        p1_strand = p1.points_id_to_strand_id
-        p2_strand = p2.points_id_to_strand_id
-        num_strands = len(np.unique(p1_strand))
-        strand_points = {}
-        votes = {}
-        for sid, cnt in zip(*np.unique(p1_strand, return_counts=True)):
-            strand_points[sid] = cnt
-            votes[sid] = []
-        # unique matched (p1 point, p2 strand) pairs — the reference extends
-        # with np.unique per point (l.65-68), i.e. one vote per (point, strand)
-        if good.any():
-            ow = owner[good]
-            ms = p2_strand[flat_nn[good]]
-            pairs = np.unique(np.stack([ow, ms], axis=1), axis=0)
-            for pt, s2 in pairs:
-                votes[p1_strand[pt]].append(s2)
-        total = 0.0
-        for sid, cnt in strand_points.items():
-            v = votes[sid]
-            if v:
-                _, c = np.unique(np.asarray(v), return_counts=True)
-                total += c.max() / cnt
-        strand_ratio = total / num_strands
+        sids, inv, pts_per_strand = np.unique(
+            p1_strand, return_inverse=True, return_counts=True
+        )
+        max_vote = np.zeros(len(sids))
+        if vote_keys:
+            # chunks cover disjoint owner ranges, so keys are globally unique
+            key = np.concatenate(vote_keys)
+            pt, s2 = key // s2_base, key % s2_base
+            # vote counts per (p1 strand, p2 strand); max share per p1 strand
+            pair_key = inv[pt].astype(np.int64) * s2_base + s2
+            upair, votes = np.unique(pair_key, return_counts=True)
+            np.maximum.at(max_vote, upair // s2_base, votes)
+        strand_ratio = float((max_vote / pts_per_strand).sum() / len(sids))
     return float(matching_ratio), strand_ratio
 
 
