@@ -88,6 +88,8 @@ class RuntimeConfig:
     composite_chunk: int = 128
     capacity_round: int = 4096
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
+    device_eval: str = "auto"  # auto: device-side in-training metrics on TPU
+    # (final eval always uses the host oracle incl. strand consistency)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of these steps
     debug: bool = False  # jax_debug_nans + state dump on non-finite loss  # arena capacity bucket size
 

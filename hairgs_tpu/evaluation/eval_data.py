@@ -11,6 +11,44 @@ from hairgs_tpu.io.npz import HairEvalData, load_hair_eval_data_npz
 from hairgs_tpu.io.ply import count_ply_elements, read_ply
 
 
+def eval_points_device_from_gaussian(model):
+    """(points, directions, valid) as device arrays over the fixed-capacity
+    arena — the on-device counterpart of compute_eval_data_from_gaussian for
+    in-training metric cadence (no host pull; padded rows masked by `valid`).
+    Default foreground mask only (opacity/mask thresholds; lines_only is a
+    host-side conversion concern, scene/gaussian_model.py:727-795)."""
+    from hairgs_tpu.models.gaussian import (
+        FG_BIN_TH,
+        OPACITY_TH,
+        gaussian_activations,
+        gaussian_orientation,
+    )
+
+    p = model.params
+    act = gaussian_activations(p)
+    valid = (
+        model.active
+        & (act["opacity"][:, 0] >= OPACITY_TH)
+        & (act["mask"][:, 0] >= FG_BIN_TH)
+    )
+    return p.xyz, gaussian_orientation(p), valid
+
+
+def eval_points_device_from_hair(model):
+    """(points, directions, valid) on device for a HairModel: per active
+    segment, start endpoint + normalized direction — the same point/direction
+    SET as compute_eval_data_from_hair (which orders by strand; metrics are
+    order-invariant)."""
+    from hairgs_tpu.core.maths import safe_norm
+
+    ep = model.params.endpoints
+    pairs = model.graph.endpoint_pairs
+    start = ep[pairs[:, 0]]
+    d = ep[pairs[:, 1]] - start
+    dirs = d / safe_norm(d, axis=-1, keepdims=True)
+    return start, dirs, model.graph.seg_active
+
+
 def compute_eval_data_from_gaussian(model) -> HairEvalData:
     """Foreground Gaussian centers + principal-axis directions
     (data/eval_data.py:121-130)."""

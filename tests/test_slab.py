@@ -1,0 +1,135 @@
+"""Depth-slab Gaussian-axis sharding parity (docs/ROADMAP.md §6, SURVEY §2.3).
+
+The sharded renderer splits the Gaussian axis into k contiguous depth slabs,
+composites each slab on its own device, and folds the partial (color, T)
+segments front-to-back. These tests assert exact-order parity with the
+replicated renderer on an 8-virtual-device CPU mesh — forward image, final
+transmittance, radii routing, and gradients through the fold."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hairgs_tpu.core.camera import make_camera
+from hairgs_tpu.models.gaussian import GaussianModel, gaussian_render_inputs
+from hairgs_tpu.parallel.slab import (
+    compose_segments,
+    gauss_mesh,
+    render_gauss_sharded,
+)
+from hairgs_tpu.render import RasterConfig, render
+
+W, H = 48, 40
+CFG = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=256, chunk=16)
+
+
+def build_scene(n=96, seed=5):
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((n, 3), dtype=np.float32)
+    pts[:, 0] = rng.uniform(-0.6, 0.6, n)
+    pts[:, 1] = rng.uniform(-0.6, 0.6, n)
+    pts[:, 2] = rng.uniform(2.5, 4.0, n)
+    colors = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    model = GaussianModel(sh_degree=0, capacity_round=n)
+    model.create_from_pcd(pts, colors)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 0.1]), fovx=1.2, fovy=1.0)
+    return model, cam
+
+
+class TestComposeSegments:
+    def test_two_segment_identity(self):
+        rng = np.random.default_rng(0)
+        c = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(0.2, 1, (2, 4, 4)).astype(np.float32))
+        color, trans = compose_segments(c, t)
+        np.testing.assert_allclose(
+            color, c[0] + t[0][..., None] * c[1], rtol=1e-6)
+        np.testing.assert_allclose(trans, t[0] * t[1], rtol=1e-6)
+
+    def test_associativity(self):
+        rng = np.random.default_rng(1)
+        c = jnp.asarray(rng.uniform(0, 1, (8, 4, 4, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(0.2, 1, (8, 4, 4)).astype(np.float32))
+        color_a, t_a = compose_segments(c, t)
+        # fold two halves then compose the halves
+        ch1, th1 = compose_segments(c[:4], t[:4])
+        ch2, th2 = compose_segments(c[4:], t[4:])
+        color_b = ch1 + th1[..., None] * ch2
+        np.testing.assert_allclose(color_a, color_b, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(t_a, th1 * th2, rtol=1e-5, atol=1e-6)
+
+
+class TestSlabParity:
+    def test_forward_matches_replicated(self):
+        model, cam = build_scene()
+        mesh = gauss_mesh(8)
+        inputs = gaussian_render_inputs(model.params, cam.cam_center, 0)
+        bg = jnp.asarray([0.1, 0.2, 0.3, 0.0, 0.0, 0.0, 0.0])
+        ref = render(cam, **inputs, active=model.active, bg=bg,
+                     width=W, height=H, config=CFG)
+        out = render_gauss_sharded(
+            cam, **inputs, active=model.active, bg=bg,
+            width=W, height=H, config=CFG, mesh=mesh)
+        np.testing.assert_allclose(out["render"], ref["render"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out["final_T"], ref["final_T"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(out["radii"], ref["radii"])
+        np.testing.assert_array_equal(out["visibility_filter"],
+                                      ref["visibility_filter"])
+        assert int(out["overflow_pairs"]) == 0
+
+    def test_forward_matches_with_inactive_rows(self):
+        model, cam = build_scene(n=96)
+        # deactivate a scattered subset: they must pad the last slab
+        active = np.asarray(model.active).copy()
+        active[::5] = False
+        active = jnp.asarray(active)
+        mesh = gauss_mesh(8)
+        inputs = gaussian_render_inputs(model.params, cam.cam_center, 0)
+        ref = render(cam, **inputs, active=active, width=W, height=H,
+                     config=CFG)
+        out = render_gauss_sharded(cam, **inputs, active=active,
+                                   width=W, height=H, config=CFG, mesh=mesh)
+        np.testing.assert_allclose(out["render"], ref["render"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(out["radii"], ref["radii"])
+
+    def test_gradients_match_replicated(self):
+        model, cam = build_scene(n=64)
+        mesh = gauss_mesh(8)
+        target = jnp.asarray(
+            np.random.default_rng(7).uniform(0, 1, (H, W, 7)).astype(np.float32))
+
+        def loss_rep(params):
+            inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+            img = render(cam, **inputs, active=model.active, width=W,
+                         height=H, config=CFG)["render"]
+            return jnp.mean((img - target) ** 2)
+
+        def loss_slab(params):
+            inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+            img = render_gauss_sharded(
+                cam, **inputs, active=model.active, width=W, height=H,
+                config=CFG, mesh=mesh)["render"]
+            return jnp.mean((img - target) ** 2)
+
+        g_rep = jax.grad(loss_rep)(model.params)
+        g_slab = jax.grad(loss_slab)(model.params)
+        for a, b in zip(jax.tree.leaves(g_rep), jax.tree.leaves(g_slab)):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+
+    def test_jit_compiles(self):
+        model, cam = build_scene(n=64)
+        mesh = gauss_mesh(8)
+
+        @jax.jit
+        def f(params):
+            inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+            return render_gauss_sharded(
+                cam, **inputs, active=model.active, width=W, height=H,
+                config=CFG, mesh=mesh)["render"]
+
+        img = f(model.params)
+        assert img.shape == (H, W, 7)
+        assert bool(jnp.all(jnp.isfinite(img)))

@@ -123,9 +123,43 @@ def training(mp, op, gp, rt, args):
 
     raster_cfg = make_raster_cfg(rt.max_tiles_per_gaussian)
 
-    def run_eval():
+    # device-side in-training metrics (ROADMAP 12): chunked masked ball-query
+    # matmuls on the accelerator instead of pulling the model to host for the
+    # scipy oracle; the final eval keeps the host path (incl. strand
+    # consistency, which needs sparse per-strand vote counting).
+    use_device_eval = rt.device_eval == "true" or (
+        rt.device_eval == "auto" and jax.default_backend() == "tpu"
+    )
+    gt_device = None
+
+    def run_eval_device():
+        nonlocal gt_device
+        from hairgs_tpu.evaluation.device_metrics import compute_metrics_device
+        from hairgs_tpu.evaluation.eval_data import (
+            eval_points_device_from_gaussian,
+            eval_points_device_from_hair,
+        )
+
+        if gt_device is None:
+            gt_device = (
+                jnp.asarray(scene.gt.points, jnp.float32),
+                jnp.asarray(scene.gt.directions, jnp.float32),
+            )
+        pts, dirs, valid = (
+            eval_points_device_from_hair(model)
+            if is_hair
+            else eval_points_device_from_gaussian(model)
+        )
+        return compute_metrics_device(
+            pts, dirs, gt_device[0], gt_device[1], pred_valid=valid,
+            bidirectional=op.bidirectional_eval,
+        )
+
+    def run_eval(final: bool = False):
         if scene.gt is None:
             return None, None
+        if use_device_eval and not final:
+            return run_eval_device()
         pred = (
             compute_eval_data_from_hair(model)
             if is_hair
@@ -451,7 +485,9 @@ def training(mp, op, gp, rt, args):
         # --- eval / log / save
         if crossed(gp.eval_frequency) or iteration >= op.iterations:
             if scene.gt is not None:
-                info.eval_metrics, info.eval_thresholds = run_eval()
+                info.eval_metrics, info.eval_thresholds = run_eval(
+                    final=iteration >= op.iterations
+                )
             run_image_eval()
         else:
             info.image_metrics = None
