@@ -90,6 +90,9 @@ class RuntimeConfig:
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
     device_eval: str = "auto"  # auto: device-side in-training metrics on TPU
     # (final eval always uses the host oracle incl. strand consistency)
+    log_interval: int = 10  # scalar-logging/sync cadence (each sync is a
+    # host round trip through the remote TPU runtime; the reference syncs
+    # every iteration via loss.item(), train.py:160)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of these steps
     debug: bool = False  # jax_debug_nans + state dump on non-finite loss  # arena capacity bucket size
 

@@ -218,18 +218,26 @@ def training(mp, op, gp, rt, args):
 
     from hairgs_tpu.topo.strands import magnet_indices
 
+    # keep the index tables device-resident: re-uploading them every step is
+    # a per-iteration host->device transfer through the remote TPU tunnel
+    def _device_smooth(pairs, valid):
+        return jnp.asarray(pairs), jnp.asarray(valid)
+
     smooth_pairs, smooth_valid = (
-        smooth_pair_indices(model.strands_info) if is_hair else (None, None)
+        _device_smooth(*smooth_pair_indices(model.strands_info))
+        if is_hair else (None, None)
     )
     magnet_idx = (
-        magnet_indices(model) if is_hair and op.lambda_magnet > 0 else None
+        tuple(jnp.asarray(x) for x in magnet_indices(model))
+        if is_hair and op.lambda_magnet > 0 else None
     )
 
     def refresh_smooth():
         nonlocal smooth_pairs, smooth_valid, magnet_idx
-        smooth_pairs, smooth_valid = smooth_pair_indices(model.strands_info)
+        smooth_pairs, smooth_valid = _device_smooth(
+            *smooth_pair_indices(model.strands_info))
         if op.lambda_magnet > 0:
-            magnet_idx = magnet_indices(model)
+            magnet_idx = tuple(jnp.asarray(x) for x in magnet_indices(model))
 
     import random as pyrandom
 
@@ -308,6 +316,7 @@ def training(mp, op, gp, rt, args):
 
     logging_active = type(logger) is not _NullLogger
     report_interval = 50
+    rt.log_interval = max(1, rt.log_interval)
     budget_ctl = TileBudgetController(rt.max_tiles_per_gaussian)
     start_time = time.time()
     iteration = 0
@@ -372,12 +381,8 @@ def training(mp, op, gp, rt, args):
             params, stats, opt_state, metrics, image = step_fn(
                 model.params, model.graph, model.stats, model.opt_state,
                 cam_input,
-                jnp.asarray(iteration), jnp.asarray(smooth_pairs),
-                jnp.asarray(smooth_valid),
-                magnet_idx=(
-                    tuple(jnp.asarray(x) for x in magnet_idx)
-                    if magnet_idx is not None else None
-                ),
+                jnp.asarray(iteration), smooth_pairs, smooth_valid,
+                magnet_idx=magnet_idx,
             )
         else:
             params, stats, opt_state, metrics, image = step_fn(
@@ -389,25 +394,29 @@ def training(mp, op, gp, rt, args):
         info.elapsed_time = (time.time() - t0) * 1000.0
 
         # host-side scalar reads force a device sync; only do them at the
-        # reporting cadence (the reference syncs every iteration via
-        # loss.item(), train.py:160 — wasteful through a remote runtime)
+        # scalar-logging cadence (the reference syncs every iteration via
+        # loss.item(), train.py:160 — each fetch is a full round trip
+        # through the remote TPU runtime, so per-iter syncing dominates
+        # step time; one batched device_get per sync keeps it to a single
+        # round trip)
         sync_now = (
-            logging_active
+            (logging_active and crossed(rt.log_interval))
             or crossed(report_interval)
             or iteration >= op.iterations
         )
         if sync_now:
-            loss = float(metrics["loss"])
+            m = jax.device_get(metrics)
+            loss = float(m["loss"])
             check_finite(loss, iteration)
             info.loss = loss
             info.loss_dict = {
-                k[5:]: float(v) for k, v in metrics.items() if k.startswith("loss/")
+                k[5:]: float(v) for k, v in m.items() if k.startswith("loss/")
             }
-            info.train_psnr = float(metrics["psnr"])
+            info.train_psnr = float(m["psnr"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
 
             n_prims = model.num_segments if is_hair else model.count
-            overflow_pairs = int(metrics["overflow_pairs"])
+            overflow_pairs = int(m["overflow_pairs"])
             # overflow counters are summed over the K views of a step;
             # scale the per-view budget test accordingly
             new_budget = budget_ctl.update(
@@ -426,13 +435,18 @@ def training(mp, op, gp, rt, args):
                 # costs minutes on the remote-compile TPU helper)
                 args.max_tiles_per_gaussian = new_budget
                 save_cfg_args(args.model_path, args)
-            overflow = int(metrics["overflow_tiles"]) + overflow_pairs
+            overflow = int(m["overflow_tiles"]) + overflow_pairs
             if overflow and not gp.quiet:
                 print(f"[warn] iter {iteration}: {overflow} binning overflows")
             if not gp.quiet and crossed(100):
                 print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
                       f"psnr {info.train_psnr:.2f}  "
                       f"prims {n_prims}  {info.elapsed_time:.1f} ms")
+        else:
+            # don't re-log stale scalars on non-sync iterations
+            info.loss = None
+            info.loss_dict = None
+            info.train_psnr = None
 
         # --- topology cadence (train.py:171-200)
         topo_changed = False
