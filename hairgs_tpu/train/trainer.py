@@ -11,6 +11,8 @@ parallelism of multi-view splatting; batch axis is shardable over a device
 mesh (see hairgs_tpu/parallel/mesh.py).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -215,7 +217,10 @@ def make_gaussian_train_step(
     Camera or a batched Camera (leading axis = view minibatch).
     """
 
-    @jax.jit
+    # donate the mutable arenas (params/stats/Adam moments): XLA updates them
+    # in place instead of allocating a second copy and round-tripping HBM
+    # every step (`active` and the camera batch are reused by the caller)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, stats, opt_state, active, camera, step):
         def one_view(cam):
             return render_loss_and_grads(
@@ -258,7 +263,9 @@ def make_hair_train_step(
     from topo.strands.magnet_indices must be passed as well.
     """
 
-    @jax.jit
+    # donate params/stats/opt_state (graph and index tables are reused
+    # across steps by the caller and must not be donated)
+    @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
     def step_fn(params, graph, stats, opt_state, camera, step, smooth_pairs,
                 smooth_valid, magnet_idx=None):
         def one_view(cam):
