@@ -80,6 +80,113 @@ def make_sharded_gaussian_step(step_fn, mesh: Mesh, axis_name: str = "data"):
     return wrapped
 
 
+def make_shardmap_gaussian_step(
+    opt_cfg,
+    raster_cfg,
+    *,
+    width: int,
+    height: int,
+    active_sh_degree: int,
+    spatial_lr_scale: float = 1.0,
+    mesh: Mesh,
+    axis_name: str = "data",
+):
+    """Explicit-collective (shard_map + psum/pmean/pmax) Stage-I DP step.
+
+    Same semantics as make_gaussian_train_step wrapped by
+    make_sharded_gaussian_step — but instead of GSPMD inferring the
+    all-reduce from sharding annotations, each device runs the per-view
+    pipeline on its local camera shard and the gradient mean / stat
+    reductions are written as explicit collectives over ICI. Useful as (a)
+    the multi-host template (shard cameras per host, one mesh over
+    jax.devices() spanning DCN) and (b) a parity oracle for the GSPMD path.
+
+    step_fn(params, stats, opt_state, active, camera_batch, step): the
+    camera batch's leading axis must divide the mesh axis size. Returns
+    (params, stats, opt_state, metrics, images) with images stacked one per
+    device (the GSPMD wrapper returns one image; use images[0]).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    from hairgs_tpu.models.gaussian import (
+        GaussianStats,
+        gaussian_render_inputs,
+    )
+    from hairgs_tpu.optim import adam_step
+    from hairgs_tpu.train.trainer import (
+        _update_stats,
+        gaussian_lr_tree,
+        render_loss_and_grads,
+    )
+
+    def local_step(params, stats, opt_state, active, camera, step):
+        def one_view(cam):
+            return render_loss_and_grads(
+                lambda p: gaussian_render_inputs(p, cam.cam_center,
+                                                 active_sh_degree),
+                params, cam, active, opt_cfg, raster_cfg, width, height,
+            )
+
+        losses, grads, offset_grads, auxes = jax.vmap(one_view)(camera)
+        # gradient mean over the GLOBAL view batch = local mean, pmean'd
+        loss = jax.lax.pmean(jnp.mean(losses), axis_name)
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jnp.mean(g, axis=0), axis_name), grads
+        )
+        loss_dict = jax.tree.map(
+            lambda x: jax.lax.pmean(jnp.mean(x), axis_name),
+            auxes["loss_dict"],
+        )
+
+        # densification stats: local per-view accumulation, then max/sum
+        # across devices (all associative, so K sharded views accumulate
+        # exactly like K reference iterations)
+        zero = GaussianStats(
+            max_radii2d=jnp.zeros_like(stats.max_radii2d),
+            xyz_grad_accum=jnp.zeros_like(stats.xyz_grad_accum),
+            denom=jnp.zeros_like(stats.denom),
+        )
+        local = _update_stats(zero, auxes["radii"], offset_grads, active)
+        stats = GaussianStats(
+            max_radii2d=jnp.maximum(
+                stats.max_radii2d,
+                jax.lax.pmax(local.max_radii2d, axis_name),
+            ),
+            xyz_grad_accum=stats.xyz_grad_accum
+            + jax.lax.psum(local.xyz_grad_accum, axis_name),
+            denom=stats.denom + jax.lax.psum(local.denom, axis_name),
+        )
+
+        lr_tree = gaussian_lr_tree(opt_cfg, step, spatial_lr_scale)
+        params, opt_state = adam_step(params, grads, opt_state, lr_tree)
+        train_psnr = loss_dict.pop("psnr")
+        metrics = dict(
+            loss=loss,
+            psnr=train_psnr,
+            **{f"loss/{k}": v for k, v in loss_dict.items()},
+            overflow_pairs=jax.lax.psum(
+                jnp.sum(auxes["overflow_pairs"]), axis_name),
+            overflow_tiles=jax.lax.psum(
+                jnp.sum(auxes["overflow_tiles"]), axis_name),
+        )
+        return params, stats, opt_state, metrics, auxes["image"][:1]
+
+    repl = PartitionSpec()
+    data = PartitionSpec(axis_name)
+    # check_vma=False: the compositor's scan carries start device-invariant
+    # and become varying mid-scan, which the vma tracker rejects; the
+    # replicated out_specs are validated by the parity test instead
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, repl, data, repl),
+        out_specs=(repl, repl, repl, repl, data),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_hair_step(step_fn, mesh: Mesh, axis_name: str = "data"):
     repl = NamedSharding(mesh, P())
 

@@ -72,9 +72,12 @@ class TestMesh:
         batch = stack_cameras(cams)
         step_fn = make_gaussian_train_step(opt, CFG, width=W, height=H,
                                            active_sh_degree=0)
+        # the step donates its arena args: hand it copies so the originals
+        # stay alive for the sharded call below
+        copy = lambda t: jax.tree.map(jnp.array, t)
         p1, s1, o1, m1, _ = step_fn(
-            model.params, model.stats, model.opt_state, model.active, batch,
-            jnp.asarray(1),
+            copy(model.params), copy(model.stats), copy(model.opt_state),
+            model.active, batch, jnp.asarray(1),
         )
         mesh = make_mesh(8)
         sharded = make_sharded_gaussian_step(step_fn, mesh)
@@ -87,6 +90,39 @@ class TestMesh:
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+    def test_shardmap_matches_gspmd(self):
+        """The explicit-collective (shard_map + psum/pmean/pmax) step must
+        produce the same update as the GSPMD-annotated path."""
+        from hairgs_tpu.parallel.mesh import make_shardmap_gaussian_step
+
+        model, cams, opt = build_setup(8)
+        batch = stack_cameras(cams)
+        mesh = make_mesh(8)
+        step_fn = make_gaussian_train_step(opt, CFG, width=W, height=H,
+                                           active_sh_degree=0)
+        gspmd = make_sharded_gaussian_step(step_fn, mesh)
+        copy = lambda t: jax.tree.map(jnp.array, t)  # step donates its arenas
+        p1, s1, o1, m1, _ = gspmd(
+            copy(model.params), copy(model.stats), copy(model.opt_state),
+            model.active, batch, jnp.asarray(1),
+        )
+        explicit = make_shardmap_gaussian_step(
+            opt, CFG, width=W, height=H, active_sh_degree=0, mesh=mesh)
+        p2, s2, o2, m2, imgs = explicit(
+            model.params, model.stats, model.opt_state, model.active, batch,
+            jnp.asarray(1),
+        )
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-3)
+        assert int(m1["overflow_pairs"]) == int(m2["overflow_pairs"])
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        assert imgs.shape[0] == 8  # one local first-view image per device
 
     def test_batch_actually_sharded(self):
         mesh = make_mesh(8)
