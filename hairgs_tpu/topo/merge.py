@@ -112,10 +112,15 @@ def _remove_complementary_rows(pairs: np.ndarray, comp_map: np.ndarray) -> np.nd
     return pairs[keep]
 
 
-def stage2_merge_loop(model, max_iterations: int, callback=None) -> int:
+def stage2_merge_loop(model, max_iterations: int, callback=None,
+                      viz_callback=None) -> int:
     """Stage-II merging driver (merge.py:114-166): repeatedly find + merge
     candidate pairs until none remain. The merge thresholds stay at their
-    init values (the reference never calls update_learning_rate here)."""
+    init values (the reference never calls update_learning_rate here).
+
+    viz_callback(i, pairs) fires BEFORE the merge is applied (pair indices
+    reference the pre-merge endpoint arena) — the hook for the reference's
+    live merge-progress plots (merge.py:118-158)."""
     from hairgs_tpu.topo.graph_ops import HairHostState
     from hairgs_tpu.topo.strands import compute_strands_info
 
@@ -124,6 +129,8 @@ def stage2_merge_loop(model, max_iterations: int, callback=None) -> int:
         pairs = compute_endpoint_pair_to_merge(model)
         if pairs.shape[0] == 0:
             break
+        if viz_callback is not None:
+            viz_callback(i, pairs)
         st = HairHostState(model)
         st.merge_endpoint_pairs(pairs)
         st.install()

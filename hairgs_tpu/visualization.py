@@ -165,19 +165,157 @@ def save_ply_faces(vertex_xyz: np.ndarray, vertex_color: np.ndarray,
             f.write(struct.pack("<Biii", 3, face[0], face[1], face[2]))
 
 
-def create_pv_background_plotter(model, cameras):
-    """Interactive 3D strand plotter (utils/visualization.py:137-248);
-    requires pyvista + Qt, gated."""
+def _import_pv():
+    """Gated pyvista import (tests monkeypatch this with a recording fake)."""
     try:
         import pyvista as pv
-        from pyvistaqt import BackgroundPlotter
     except ImportError as e:
         raise ImportError(
-            "interactive 3D visualization requires pyvista + pyvistaqt"
+            "interactive 3D visualization requires pyvista"
         ) from e
+    return pv
+
+
+def _as_np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def pv_visualize(plotter=None, point_clouds=None, lines=None, title="",
+                 pv=None):
+    """Point-cloud / line-set subplot (utils/visualization.py:137-180).
+
+    point_clouds / lines: color-name -> (N,3) array (numpy or jax). With a
+    plotter given, draws into it as a subplot; otherwise creates one, shows
+    it, and blocks (reference behavior)."""
+    pv = pv or _import_pv()
+    point_clouds = point_clouds or {}
+    lines = lines or {}
+    is_subplot = plotter is not None
+    if not is_subplot:
+        plotter = pv.Plotter()
+    point_opacity = 1 if not lines else 0.5
+    point_size = 1 if not lines else 3
+    for color, pc in point_clouds.items():
+        plotter.add_points(_as_np(pc), color=color, point_size=point_size,
+                           opacity=point_opacity)
+    for color, line in lines.items():
+        plotter.add_lines(_as_np(line), color=color, width=1)
+    plotter.add_axes()
+    if is_subplot:
+        plotter.add_text(title, font_size=18)
+    else:
+        plotter.add_title(title)
+        plotter.render()
+        plotter.show()
+    return plotter
+
+
+def camera_frustum_lines(camera, scale: float = 0.1) -> np.ndarray:
+    """(16,3) world-space segment soup sketching a camera frustum (the
+    reference draws frusta via dreifus add_camera_frustum; this is a
+    dependency-free equivalent: 4 rays origin->corner + the far rectangle)."""
+    wv = np.asarray(camera.world_view, dtype=np.float64)
+    c2w = np.linalg.inv(wv)
+    tx = float(camera.tanfovx)
+    ty = float(camera.tanfovy)
+    corners_cam = np.array(
+        [[-tx, -ty, 1.0], [tx, -ty, 1.0], [tx, ty, 1.0], [-tx, ty, 1.0]]
+    ) * scale
+    origin = c2w[:3, 3]
+    corners = corners_cam @ c2w[:3, :3].T + origin
+    segs = []
+    for i in range(4):
+        segs.append(origin)
+        segs.append(corners[i])
+        segs.append(corners[i])
+        segs.append(corners[(i + 1) % 4])
+    return np.asarray(segs, dtype=np.float32)
+
+
+def make_viewpoint_setter(plotter, camera):
+    """Closure that moves the interactive view to a training camera
+    (utils/visualization.py:228-244). Position/direction/up come from the
+    inverted world_view; the focal point is pos + view_dir (the reference
+    sets it to the bare direction vector — a latent bug; fixed here, noted
+    for parity)."""
+
+    def set_viewpoint():
+        wv = np.asarray(camera.world_view, dtype=np.float64)
+        c2w = np.linalg.inv(wv)
+        pos = c2w[:3, 3]
+        view_dir = c2w[:3, :3] @ np.array([0.0, 0.0, 1.0])
+        up = c2w[:3, :3] @ np.array([0.0, -1.0, 0.0])
+        plotter.camera.SetPosition(pos)
+        plotter.camera.SetFocalPoint(pos + view_dir)
+        plotter.camera.SetViewUp(up)
+        fovx = 2.0 * math.atan(float(camera.tanfovx))
+        plotter.camera.SetViewAngle(180.0 * fovx / math.pi)
+
+    return set_viewpoint
+
+
+_CAM_COLOR_LIST = ["red", "green", "blue", "yellow", "cyan", "magenta",
+                   "orange", "purple"]
+
+
+def create_pv_background_plotter(model, cameras, pv=None, background=False):
+    """Interactive 3D strand plotter with camera frustums and key-bound
+    viewpoints (utils/visualization.py:184-248): keys 1..N jump the view to
+    training camera N. With background=True uses pyvistaqt's non-blocking
+    BackgroundPlotter (needs Qt); else a regular Plotter (call .show())."""
+    pv = pv or _import_pv()
+    if background:
+        try:
+            from pyvistaqt import BackgroundPlotter
+        except ImportError as e:
+            raise ImportError("background plotting requires pyvistaqt") from e
+        plotter = BackgroundPlotter()
+    else:
+        plotter = pv.Plotter()
     points, lines = get_joints_and_segments_from_hair(model)
     cells = np.column_stack([np.full(lines.shape[0], 2), lines]).ravel()
     polydata = pv.PolyData(points, lines=cells)
-    plotter = BackgroundPlotter()
     plotter.add_mesh(polydata, render_lines_as_tubes=True, line_width=2)
+    for i, cam in enumerate(cameras):
+        color = _CAM_COLOR_LIST[i % len(_CAM_COLOR_LIST)]
+        plotter.add_lines(camera_frustum_lines(cam), color=color, width=1)
+        plotter.add_key_event(str(i + 1), make_viewpoint_setter(plotter, cam))
+    plotter.add_axes()
+    if hasattr(plotter, "view_isometric"):
+        plotter.view_isometric()
     return plotter, polydata
+
+
+def update_polydata_from_hair(polydata, model):
+    """Refresh an existing PolyData in place from the live model (reference
+    train.py:222-227 passes polydata back into the converter). Lines are
+    rewritten too — topology ops change the segment graph between updates."""
+    points, lines = get_joints_and_segments_from_hair(model)
+    polydata.points = points
+    polydata.lines = np.column_stack(
+        [np.full(lines.shape[0], 2), lines]
+    ).ravel()
+    return polydata
+
+
+def make_merge_viz_callback(model, pv=None):
+    """Live merge-progress plots (reference merge.py:118-158): each merge
+    step shows the current strand graph plus the candidate endpoint pairs as
+    white lines. Returns a stage2_merge_loop viz_callback."""
+    pv = pv or _import_pv()
+
+    def viz(i, pairs):
+        points, lines = get_joints_and_segments_from_hair(model)
+        plotter = pv.Plotter()
+        plotter.set_background("black")
+        cells = np.column_stack([np.full(lines.shape[0], 2), lines]).ravel()
+        plotter.add_mesh(pv.PolyData(points, lines=cells), line_width=1)
+        pv_visualize(
+            plotter=plotter,
+            title=f"Merge step {i}",
+            lines={"white": points[np.asarray(pairs)].reshape(-1, 3)},
+            pv=pv,
+        )
+        plotter.show()
+
+    return viz

@@ -32,6 +32,7 @@ def main(args):
 
     op = extract_config(args, OptimizationConfig)
     rt = extract_config(args, RuntimeConfig)
+    gp = extract_config(args, GeneralConfig)
     scene = Scene(args, shuffle=False, capacity_round=rt.capacity_round)
     assert not isinstance(scene.gaussians, HairModel), (
         "Stage II expects a Stage-I GaussianModel checkpoint (merge.py:39-41)"
@@ -45,16 +46,44 @@ def main(args):
     assert scene.head_reconstruction is not None, (
         "head_reconstruction_data.npz required for scalp anchoring"
     )
+    # live 3D plots (reference merge.py:44-76,118-158; pyvista-gated)
+    viz_cb = None
+    if gp.vis3d:
+        try:
+            from hairgs_tpu.visualization import pv_visualize
+
+            pv_visualize(
+                point_clouds={"blue": model.host_arrays()["xyz"][: model.count]},
+                title="Initial Gaussians",
+            )
+        except ImportError as e:
+            print(f"[vis3d] disabled ({e})")
+            gp.vis3d = False
+
     hair = model.to_hair_model(scene.head_reconstruction.scalp_verts)
     hair.training_setup(op)
     print(f"Converted to hair model: {hair.num_segments} segments")
+
+    if gp.vis3d:
+        from hairgs_tpu.visualization import make_merge_viz_callback, pv_visualize
+
+        arrays = hair.host_arrays()
+        pv_visualize(
+            point_clouds={
+                "blue": arrays["endpoints"][: hair.num_endpoints],
+                "red": np.asarray(hair.ref_strand_root),
+            },
+            title="Endpoints (B) and GT strand roots (R)",
+        )
+        viz_cb = make_merge_viz_callback(hair)
 
     def progress(i, n):
         print(f"merge iter {i}: merged {n} endpoint pairs -> "
               f"{hair.num_segments} segments, "
               f"{len(hair.strands_info.list_strands)} strands")
 
-    iters = stage2_merge_loop(hair, max_iterations=op.iterations, callback=progress)
+    iters = stage2_merge_loop(hair, max_iterations=op.iterations,
+                              callback=progress, viz_callback=viz_cb)
     print(f"Merging converged after {iters} iterations")
 
     if scene.gt is not None:

@@ -123,6 +123,17 @@ def training(mp, op, gp, rt, args):
 
     raster_cfg = make_raster_cfg(rt.max_tiles_per_gaussian)
 
+    # interactive 3D strand view (reference train.py:61-62; pyvista-gated)
+    vis3d_plotter = vis3d_polydata = None
+    if gp.vis3d and is_hair:
+        try:
+            from hairgs_tpu.visualization import create_pv_background_plotter
+
+            vis3d_plotter, vis3d_polydata = create_pv_background_plotter(
+                model, cameras, background=True)
+        except ImportError as e:
+            print(f"[vis3d] disabled ({e})")
+
     # device-side in-training metrics (ROADMAP 12): chunked masked ball-query
     # matmuls on the accelerator instead of pulling the model to host for the
     # scipy oracle; the final eval keeps the host path (incl. strand
@@ -493,6 +504,14 @@ def training(mp, op, gp, rt, args):
                 except Exception as e:
                     print(f"[vis2d] disabled ({e})")
                     gp.vis2d = False
+            # live 3D strand view (reference train.py:222-227)
+            if vis3d_plotter is not None:
+                from hairgs_tpu.visualization import update_polydata_from_hair
+
+                update_polydata_from_hair(vis3d_polydata, model)
+                vis3d_plotter.render()
+                if hasattr(vis3d_plotter, "app"):
+                    vis3d_plotter.app.processEvents()
         else:
             info.composed_image = None
 
@@ -513,6 +532,8 @@ def training(mp, op, gp, rt, args):
     if profiling:
         jax.profiler.stop_trace()
         print(f"[profile] trace written to {profile_dir}")
+    if vis3d_plotter is not None:  # reference train.py:263-265
+        vis3d_plotter.close()
     total = time.time() - start_time
     print(f"Training completed in {total:.1f}s "
           f"({iteration / max(total, 1e-9):.2f} it/s, "
