@@ -7,7 +7,11 @@ consistency at paired (distance, angle) thresholds (2mm,20°), (3mm,30°),
 The per-point matching loop is vectorized here (the reference iterates point
 by point over cKDTree ball-query results, parallelized with a process pool of
 8, loss/metrics.py:113-149); results are identical, and the vectorized form
-is fast enough single-process. `processes` is accepted for signature parity.
+is fast enough single-process: the full 4-threshold bidirectional grid over a
+USC-scale pair (990k GT points / 10k strands vs 400k predictions) measures
+~200s on one CPU host. For in-training cadence use
+evaluation.device_metrics (precision/recall/F1 on the accelerator).
+`processes` is accepted for signature parity.
 """
 
 from typing import Dict, List, Optional, Tuple

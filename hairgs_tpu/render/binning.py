@@ -184,7 +184,10 @@ def _gather_pairs_bwd(r_max, res, g):
     inv_paged, n_plus_1 = res
     n = n_plus_1 - 1
     per_pair = g[inv_paged]  # (N*r_max, PACK); culled pairs hit zero slots
-    per_gauss = per_pair.reshape(n, r_max, -1).sum(axis=1)
+    # accumulate the r_max slots in f32 even for bf16 feature planes (the
+    # per-pair grads are already rounded; don't compound it in the reduce)
+    per_gauss = per_pair.reshape(n, r_max, -1).astype(jnp.float32).sum(axis=1)
+    per_gauss = per_gauss.astype(g.dtype)
     d_packed = jnp.concatenate(
         [per_gauss, jnp.zeros((1, per_gauss.shape[1]), per_gauss.dtype)], axis=0
     )

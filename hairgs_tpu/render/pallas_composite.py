@@ -4,13 +4,17 @@ This is the TPU-native counterpart of renderCUDA (forward.cu:261-374) and the
 DISTWAR backward (backward_distwar.cu), replacing the pure-XLA scan compositor
 (composite.py) on the hot path. Key properties:
 
-- consumes the depth-sorted *chunk-aligned paged pair table* directly
-  ((PACK, P) in HBM, built with one gather after the sort) — no
-  (num_tiles, K) gather/idx materialization;
-- each tile DMAs (double-buffered) and processes only ceil(count/chunk)
-  chunks of its own page and stops as soon as every pixel's transmittance
-  saturates below 1e-4 — the same early-out the CUDA kernel gets from
-  __syncthreads_count(done);
+- consumes the depth-sorted *chunk-aligned paged pair table* directly — two
+  HBM planes per pair: an 8-row f32 GEOMETRY plane [x, y, conic_a, conic_b,
+  conic_c, opacity, aux0, aux1] and a C-row FEATURE plane (f32 or bf16,
+  RasterConfig.feat_bf16) — built with two gathers after the sort; no
+  (num_tiles, K) gather/idx materialization. Splitting the planes lets the
+  feature channels ride half-width DMA without costing geometry precision
+  (xy needs ~1e-3 px at 1000px).
+- each tile DMAs (double-buffered, both planes in flight) and processes only
+  ceil(count/chunk) chunks of its own page and stops as soon as every pixel's
+  transmittance saturates below 1e-4 — the same early-out the CUDA kernel
+  gets from __syncthreads_count(done);
 - several tiles are processed per grid step (tiles_per_step) to amortize the
   pipeline's per-step overhead over the 4k-tile grid;
 - all contractions are MXU-shaped: in-chunk prefix/suffix transmittance sums
@@ -20,10 +24,10 @@ DISTWAR backward (backward_distwar.cu), replacing the pure-XLA scan compositor
 The backward writes per-pair gradients into the paged order (each tile owns
 its chunk-aligned page, so writes never touch another tile's slots) and the
 caller's gather-based permutation VJP routes them back to Gaussians without
-any large scatter.
-
-Packed attribute rows (PACK x P): [x, y, conic_a, conic_b, conic_c, opacity,
-feat_0..feat_{C-1}, 0-pad...].
+any large scatter. Gradient planes: d_geo (8, P) f32 rows [d_x, d_y, d_a,
+d_b, d_c, d_opa, d_x2, d_y2] (the aux rows receive the photometric-only
+viewspace gradients — densification stats) and d_feat (C, P) in the feature
+dtype.
 """
 
 import functools
@@ -36,40 +40,49 @@ from jax.experimental.pallas import tpu as pltpu
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 ALPHA_MAX = 0.99
-PACK_BASE = 6  # x, y, a, b, c, opacity
+GEO_ROWS = 8  # x, y, a, b, c, opacity, aux0, aux1
 TILES_PER_STEP = 32
 
 
-def pack_rows(xy, conic, opacity, features, aux=None):
-    """Per-gaussian packed attribute rows (N, PACK); PACK is 6+C(+2 aux)
-    rounded up to a multiple of 8 (sublane alignment after transpose).
+def pack_geo_rows(xy, conic, opacity, aux=None):
+    """Per-gaussian geometry rows (N, 8) f32: [x, y, a, b, c, opacity,
+    aux0, aux1].
 
-    `aux` (N,2), when given, occupies two rows right after the features: the
-    forward kernel never reads them, and the backward kernel writes the
-    *photometric-only* viewspace gradients there — so d(aux) delivers the
-    densification statistics of the reference's first-render screenspace
-    tensor without a second VJP pull."""
-    cols = [xy[:, 0:1], xy[:, 1:2], conic, opacity[:, None], features]
-    if aux is not None:
-        cols.append(aux)
-    packed = jnp.concatenate(cols, axis=1)
-    pack = packed.shape[1]
-    pad = (-pack) % 8
+    `aux` (N,2), when given, occupies the last two rows: the forward kernel
+    never reads them, and the backward kernel writes the *photometric-only*
+    viewspace gradients there — so d(aux) delivers the densification
+    statistics of the reference's first-render screenspace tensor without a
+    second VJP pull."""
+    n = xy.shape[0]
+    if aux is None:
+        aux = jnp.zeros((n, 2), xy.dtype)
+    return jnp.concatenate(
+        [xy[:, 0:1], xy[:, 1:2], conic, opacity[:, None], aux], axis=1
+    )
+
+
+def pad_feat_rows(features, feat_bf16: bool):
+    """Feature plane (N, C_pad): C padded up to a multiple of 8 sublanes,
+    cast to bf16 when requested (precision loss only on the feature
+    channels; the compositor accumulates in f32 regardless)."""
+    c = features.shape[1]
+    pad = (-c) % 8
     if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, pad)))
-    return packed
+        features = jnp.pad(features, ((0, 0), (0, pad)))
+    if feat_bf16:
+        features = features.astype(jnp.bfloat16)
+    return features
 
 
-def _chunk_quantities(buf, px, py, count_in_chunk_mask, num_channels):
-    # feature rows are the true channel count; aux/pad rows are never read
-    """Shared forward math for one chunk: buf (PACK, CH); px/py (PIX, 1)."""
-    xg = buf[0:1, :]
-    yg = buf[1:2, :]
-    a = buf[2:3, :]
-    b = buf[3:4, :]
-    c = buf[4:5, :]
-    opa = buf[5:6, :]
-    feat = buf[PACK_BASE : PACK_BASE + num_channels, :]
+def _chunk_quantities(geo, feat_buf, px, py, count_in_chunk_mask, num_channels):
+    """Shared forward math for one chunk: geo (8, CH); feat (C_pad, CH)."""
+    xg = geo[0:1, :]
+    yg = geo[1:2, :]
+    a = geo[2:3, :]
+    b = geo[3:4, :]
+    c = geo[4:5, :]
+    opa = geo[5:6, :]
+    feat = feat_buf[0:num_channels, :].astype(jnp.float32)
     dx = xg - px  # (PIX, CH)
     dy = yg - py
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
@@ -97,9 +110,10 @@ def _pixel_coords(t, grid_w, tile_size, pix):
     return px, py
 
 
-def _fwd_kernel(starts_ref, counts_ref, rows_hbm, out_ref, trans_ref, tstarts_ref,
-                buf, accum, trans, done, sem, *, grid_w, tile_size, chunk,
-                max_chunks, num_channels, pack, tiles_per_step):
+def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
+                tstarts_ref, geo_buf, feat_buf, accum, trans, done, sem,
+                *, grid_w, tile_size, chunk, max_chunks, num_channels,
+                tiles_per_step):
     pix = tile_size * tile_size
     upper_incl, _ = _triangular(chunk)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -115,25 +129,33 @@ def _fwd_kernel(starts_ref, counts_ref, rows_hbm, out_ref, trans_ref, tstarts_re
         done[0] = 0
         nchunks = pl.cdiv(count, chunk)
 
-        def chunk_dma(j, slot):
+        def geo_dma(j, slot):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return pltpu.make_async_copy(
-                rows_hbm.at[:, pl.ds(offset, chunk)], buf.at[slot], sem.at[slot]
+                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[slot],
+                sem.at[slot, 0],
+            )
+
+        def feat_dma(j, slot):
+            offset = pl.multiple_of(start + j * chunk, chunk)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[slot],
+                sem.at[slot, 1],
             )
 
         # double-buffered pipeline; done[1] counts issued DMAs so every one
         # is awaited even when transmittance saturation stops compute early
         @pl.when(nchunks > 0)
         def _():
-            chunk_dma(0, 0).start()
+            geo_dma(0, 0).start()
+            feat_dma(0, 0).start()
             done[1] = 1
 
         @pl.when(nchunks == 0)
         def _():
             done[1] = 0
 
-        def body(j, _, chunk_dma=chunk_dma, nchunks=nchunks, count=count,
-                 t_local=t_local):
+        def body(j, _, nchunks=nchunks, count=count, t_local=t_local):
             # record chunk-start transmittance for the backward pass (always,
             # so post-early-exit chunks see the saturated value and go dead)
             @pl.when(j < nchunks)
@@ -143,18 +165,21 @@ def _fwd_kernel(starts_ref, counts_ref, rows_hbm, out_ref, trans_ref, tstarts_re
             @pl.when(j < done[1])
             def _():
                 slot = jax.lax.rem(j, 2)
-                chunk_dma(j, slot).wait()
+                geo_dma(j, slot).wait()
+                feat_dma(j, slot).wait()
 
                 @pl.when((j + 1 < nchunks) & (done[0] == 0))
                 def _():
-                    chunk_dma(j + 1, 1 - slot).start()
+                    geo_dma(j + 1, 1 - slot).start()
+                    feat_dma(j + 1, 1 - slot).start()
                     done[1] = j + 2
 
                 @pl.when(done[0] == 0)
                 def _():
                     kmask = (j * chunk + k_iota) < count
                     alpha, _, _, _, _, feat, _ = _chunk_quantities(
-                        buf.at[slot], px, py, kmask, num_channels
+                        geo_buf.at[slot], feat_buf.at[slot], px, py, kmask,
+                        num_channels,
                     )
                     l = jnp.log1p(-alpha)
                     cum = jax.lax.dot_general(
@@ -184,11 +209,12 @@ def _fwd_kernel(starts_ref, counts_ref, rows_hbm, out_ref, trans_ref, tstarts_re
         trans_ref[t_local, :] = trans[:, 0]
 
 
-def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
-                gout_ref, gphoto_ref, gtrans_ref, drows_init_hbm, drows_hbm,
-                buf, dbuf, bcarry, bcarry2, sem, osem, *, grid_w, tile_size,
-                chunk, max_chunks, num_channels, pack, tiles_per_step):
-    del drows_init_hbm  # aliased zero-initialized output
+def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
+                tfinal_ref, gout_ref, gphoto_ref, gtrans_ref, dgeo_init_hbm,
+                dfeat_init_hbm, dgeo_hbm, dfeat_hbm, geo_buf, feat_buf,
+                dgeo_buf, dfeat_buf, bcarry, bcarry2, sem, osem, *, grid_w,
+                tile_size, chunk, max_chunks, num_channels, tiles_per_step):
+    del dgeo_init_hbm, dfeat_init_hbm  # aliased zero-initialized outputs
     pix = tile_size * tile_size
     upper_incl, strict_upper = _triangular(chunk)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -210,40 +236,58 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
         g_photo = gphoto_ref[:, pl.ds(t_local * pix, pix)]  # (C, PIX) photo only
         nchunks = pl.cdiv(count, chunk)
 
-        def chunk_dma(j, slot):
+        def geo_dma(j, slot):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return pltpu.make_async_copy(
-                rows_hbm.at[:, pl.ds(offset, chunk)], buf.at[slot], sem.at[slot]
+                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[slot],
+                sem.at[slot, 0],
+            )
+
+        def feat_dma(j, slot):
+            offset = pl.multiple_of(start + j * chunk, chunk)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[slot],
+                sem.at[slot, 1],
             )
 
         def store_dma(j, slot):
             offset = pl.multiple_of(start + j * chunk, chunk)
-            return pltpu.make_async_copy(
-                dbuf.at[slot], drows_hbm.at[:, pl.ds(offset, chunk)], osem.at[slot]
+            return (
+                pltpu.make_async_copy(
+                    dgeo_buf.at[slot], dgeo_hbm.at[:, pl.ds(offset, chunk)],
+                    osem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    dfeat_buf.at[slot], dfeat_hbm.at[:, pl.ds(offset, chunk)],
+                    osem.at[slot, 1],
+                ),
             )
 
         # double-buffered input prefetch (reverse order) + buffered stores
         @pl.when(nchunks > 0)
         def _():
-            chunk_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
+            geo_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
+            feat_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
 
-        def body(i, _, chunk_dma=chunk_dma, store_dma=store_dma,
-                 nchunks=nchunks, count=count, t_local=t_local, g_out=g_out,
-                 g_photo=g_photo):
+        def body(i, _, nchunks=nchunks, count=count, t_local=t_local,
+                 g_out=g_out, g_photo=g_photo):
             j = nchunks - 1 - i
 
             @pl.when(j >= 0)
             def _():
                 slot = jax.lax.rem(j, 2)
-                chunk_dma(j, slot).wait()
+                geo_dma(j, slot).wait()
+                feat_dma(j, slot).wait()
 
                 @pl.when(j - 1 >= 0)
                 def _():
-                    chunk_dma(j - 1, 1 - slot).start()
+                    geo_dma(j - 1, 1 - slot).start()
+                    feat_dma(j - 1, 1 - slot).start()
 
                 kmask = (j * chunk + k_iota) < count
                 alpha, G, ok, dx, dy, feat, opa = _chunk_quantities(
-                    buf.at[slot], px, py, kmask, num_channels
+                    geo_buf.at[slot], feat_buf.at[slot], px, py, kmask,
+                    num_channels,
                 )
                 l = jnp.log1p(-alpha)
                 cum = jax.lax.dot_general(
@@ -272,9 +316,9 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
                 d_opa = jnp.sum(jnp.where(use, G * dalpha, 0.0), axis=0,
                                 keepdims=True)
                 dpower = jnp.where(use, opa * G * dalpha, 0.0)
-                a = buf[slot, 2:3, :]
-                b = buf[slot, 3:4, :]
-                c = buf[slot, 4:5, :]
+                a = geo_buf[slot, 2:3, :]
+                b = geo_buf[slot, 3:4, :]
+                c = geo_buf[slot, 4:5, :]
                 d_x = jnp.sum(dpower * (-(a * dx + b * dy)), axis=0, keepdims=True)
                 d_y = jnp.sum(dpower * (-(c * dy + b * dx)), axis=0, keepdims=True)
                 d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
@@ -305,22 +349,29 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
                 d_y2 = jnp.sum(dpower2 * (-(c * dy + b * dx)), axis=0,
                                keepdims=True)
 
-                grad_rows = jnp.concatenate(
-                    [d_x, d_y, d_a, d_b, d_c, d_opa, d_feat, d_x2, d_y2], axis=0
+                grad_geo = jnp.concatenate(
+                    [d_x, d_y, d_a, d_b, d_c, d_opa, d_x2, d_y2], axis=0
                 )
-                pad = pack - grad_rows.shape[0]
+                pad = dfeat_buf.shape[1] - num_channels
                 if pad:
-                    grad_rows = jnp.concatenate(
-                        [grad_rows, jnp.zeros((pad, chunk), jnp.float32)], axis=0
+                    d_feat = jnp.concatenate(
+                        [d_feat, jnp.zeros((pad, chunk), jnp.float32)], axis=0
                     )
 
                 @pl.when(i >= 2)  # reusing this store slot: wait its last store
                 def _():
-                    store_dma(j + 2, slot).wait()
+                    g_dma, f_dma = store_dma(j + 2, slot)
+                    g_dma.wait()
+                    f_dma.wait()
 
                 # masked tail slots are the tile's own page padding: zero them
-                dbuf[slot] = jnp.where(kmask, grad_rows, 0.0)
-                store_dma(j, slot).start()
+                dgeo_buf[slot] = jnp.where(kmask, grad_geo, 0.0)
+                dfeat_buf[slot] = jnp.where(kmask, d_feat, 0.0).astype(
+                    dfeat_buf.dtype
+                )
+                g_dma, f_dma = store_dma(j, slot)
+                g_dma.start()
+                f_dma.start()
                 bcarry[:] += jnp.sum(wf, axis=1, keepdims=True)
                 bcarry2[:] += jnp.sum(wf2, axis=1, keepdims=True)
 
@@ -330,11 +381,15 @@ def _bwd_kernel(starts_ref, counts_ref, rows_hbm, tstarts_ref, tfinal_ref,
         # drain this tile's outstanding stores before its buffers are reused
         @pl.when(nchunks >= 1)
         def _():
-            store_dma(0, 0).wait()
+            g_dma, f_dma = store_dma(0, 0)
+            g_dma.wait()
+            f_dma.wait()
 
         @pl.when(nchunks >= 2)
         def _():
-            store_dma(1, 1).wait()
+            g_dma, f_dma = store_dma(1, 1)
+            g_dma.wait()
+            f_dma.wait()
 
 
 def _pad_tiles(starts, counts, nt, tiles_per_step):
@@ -346,13 +401,14 @@ def _pad_tiles(starts, counts, nt, tiles_per_step):
     return starts, counts, nt_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def composite_pairs(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-                    max_chunks, num_channels, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
+                    tile_size, chunk, max_chunks, num_channels, interpret):
     """Tile compositing over the chunk-aligned paged pair table.
 
-    rows: (PACK, P_paged) f32 (pack_rows layout with aux slots); starts:
-    chunk-aligned page offsets; counts: true per-tile pair counts.
+    geo_rows: (8, P_paged) f32 (pack_geo_rows layout, aux slots last);
+    feat_rows: (C_pad, P_paged) f32 or bf16; starts: chunk-aligned page
+    offsets; counts: true per-tile pair counts.
 
     Returns (out, out_photo, trans): out and out_photo carry identical values
     (NT, PIX, C). Compute *photometric* losses from out_photo and everything
@@ -360,17 +416,18 @@ def composite_pairs(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
     parameter gradients and out_photo's alone for the aux-row viewspace
     gradients, reproducing the reference's stats split in ONE backward pass.
     """
-    out, trans, _ = _forward_pallas(rows, starts, counts, grid_w, grid_h,
-                                    tile_size, chunk, max_chunks, num_channels,
-                                    interpret)
+    out, trans, _ = _forward_pallas(geo_rows, feat_rows, starts, counts,
+                                    grid_w, grid_h, tile_size, chunk,
+                                    max_chunks, num_channels, interpret)
     return out, out, trans
 
 
-def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-                    max_chunks, num_channels, interpret):
+def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
+                    tile_size, chunk, max_chunks, num_channels, interpret):
     nt = grid_w * grid_h
     pix = tile_size * tile_size
-    pack = rows.shape[0]
+    c_pad = feat_rows.shape[0]
+    feat_dtype = feat_rows.dtype
     tps = TILES_PER_STEP
     starts, counts, nt_pad = _pad_tiles(starts, counts, nt, tps)
     assert max_chunks % 8 == 0 or interpret, (
@@ -381,13 +438,16 @@ def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
     )
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-        max_chunks=max_chunks, num_channels=num_channels, pack=pack,
+        max_chunks=max_chunks, num_channels=num_channels,
         tiles_per_step=tps,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt_pad // tps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
         out_specs=[
             pl.BlockSpec((num_channels, tps * pix), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -397,11 +457,12 @@ def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, pack, chunk), jnp.float32),
+            pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, c_pad, chunk), feat_dtype),
             pltpu.VMEM((num_channels, pix), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out, trans, tstarts = pl.pallas_call(
@@ -416,34 +477,36 @@ def _forward_pallas(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(starts, counts, rows)
+    )(starts, counts, geo_rows, feat_rows)
     out = out.T.reshape(nt_pad, pix, num_channels)[:nt]
     trans_full = trans
     return out, trans_full[:nt], (tstarts, trans_full)
 
 
-def _composite_fwd(rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-                   max_chunks, num_channels, interpret):
+def _composite_fwd(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
+                   tile_size, chunk, max_chunks, num_channels, interpret):
     out, trans, (tstarts, trans_full) = _forward_pallas(
-        rows, starts, counts, grid_w, grid_h, tile_size, chunk, max_chunks,
-        num_channels, interpret,
+        geo_rows, feat_rows, starts, counts, grid_w, grid_h, tile_size, chunk,
+        max_chunks, num_channels, interpret,
     )
-    return (out, out, trans), (rows, starts, counts, tstarts, trans_full)
+    return (out, out, trans), (geo_rows, feat_rows, starts, counts, tstarts,
+                               trans_full)
 
 
 def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
                    interpret, res, cts):
-    rows, starts, counts, tstarts, trans_full = res
+    geo_rows, feat_rows, starts, counts, tstarts, trans_full = res
     g_aux, g_photo, g_trans = cts
     g_out = g_aux + g_photo  # total-loss cotangent
     nt = grid_w * grid_h
     pix = tile_size * tile_size
-    pack = rows.shape[0]
+    c_pad = feat_rows.shape[0]
+    feat_dtype = feat_rows.dtype
     tps = TILES_PER_STEP
 
     # the forward stopped once transmittance saturated; chunks past that
-    # point carry zero gradients (drows is zero-initialized), so clamp the
-    # backward's per-tile counts to the chunks the forward actually computed:
+    # point carry zero gradients (grad planes are zero-initialized), so clamp
+    # the backward's per-tile counts to the chunks the forward actually ran:
     # chunk j ran iff its START transmittance still had a live pixel
     nt_pad0 = tstarts.shape[0] // max_chunks
     chunk_live = (
@@ -470,14 +533,15 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
         )
     kernel = functools.partial(
         _bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-        max_chunks=max_chunks, num_channels=num_channels, pack=pack,
+        max_chunks=max_chunks, num_channels=num_channels,
         tiles_per_step=tps,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt_pad // tps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # geo rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # feat rows
             pl.BlockSpec((tps * max_chunks, pix), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # tstarts
             pl.BlockSpec((tps, pix), lambda i, *_: (i, 0),
@@ -488,35 +552,45 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
                          memory_space=pltpu.VMEM),  # g_photo (channels-first)
             pl.BlockSpec((tps, pix), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # g_trans
-            pl.BlockSpec(memory_space=pltpu.HBM),  # drows init (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # d_geo init (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # d_feat init (aliased)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, pack, chunk), jnp.float32),
-            pltpu.VMEM((2, pack, chunk), jnp.float32),
+            pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, c_pad, chunk), feat_dtype),
+            pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, c_pad, chunk), feat_dtype),
             pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    drows_init = jnp.zeros_like(rows)
-    (drows,) = pl.pallas_call(
+    dgeo_init = jnp.zeros_like(geo_rows)
+    dfeat_init = jnp.zeros_like(feat_rows)
+    dgeo, dfeat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(rows.shape, jnp.float32)],
-        input_output_aliases={8: 0},  # 2 scalar-prefetch + 6 tensor inputs
+        out_shape=[
+            jax.ShapeDtypeStruct(geo_rows.shape, jnp.float32),
+            jax.ShapeDtypeStruct(feat_rows.shape, feat_dtype),
+        ],
+        input_output_aliases={9: 0, 10: 1},  # 2 scalar-prefetch + 7 tensors
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(starts, counts, rows, tstarts,
+    )(starts, counts, geo_rows, feat_rows, tstarts,
       trans_full,
       g_out.reshape(-1, num_channels).T,
       g_photo.reshape(-1, num_channels).T,
       g_trans,
-      drows_init)
-    return drows, None, None
+      dgeo_init, dfeat_init)
+    return dgeo, dfeat, None, None
 
 
 composite_pairs.defvjp(_composite_fwd, _composite_bwd)

@@ -41,6 +41,10 @@ class RasterConfig:
     max_pairs_per_tile: int = 1024
     chunk: int = 32
     use_pallas: bool = False
+    # bf16 feature plane (geometry stays f32): halves the feature half of
+    # the pair-table traffic in gather + both kernel passes; feature values
+    # and their per-pair gradients round to bf16 (accumulation stays f32)
+    feat_bf16: bool = False
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -101,7 +105,11 @@ def render(
 
     if config.use_pallas:
         from hairgs_tpu.render.binning import bin_gaussians_sorted, gather_pairs
-        from hairgs_tpu.render.pallas_composite import composite_pairs, pack_rows
+        from hairgs_tpu.render.pallas_composite import (
+            composite_pairs,
+            pack_geo_rows,
+            pad_feat_rows,
+        )
 
         binning = bin_gaussians_sorted(
             prep.rect, prep.depth, prep.valid, grid_w, grid_h,
@@ -116,20 +124,26 @@ def render(
             aux = mean2d_offset * jnp.asarray(
                 [0.5 * width, 0.5 * height], dtype=jnp.float32
             )
-        packed = pack_rows(prep.xy, prep.conic, opa_eff, feat_eff, aux=aux)
-        n, pack = packed.shape
+        geo_packed = pack_geo_rows(prep.xy, prep.conic, opa_eff, aux=aux)
+        feat_packed = pad_feat_rows(feat_eff, config.feat_bf16)
         r_max = config.max_tiles_per_gaussian
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((1, pack), packed.dtype)], axis=0
-        )  # zero row: target of padding slots (virtual index n*r_max)
-        rows_paged = gather_pairs(packed, binning.paged_src, binning.inv_paged,
-                                  r_max)
-        rows_t = rows_paged.T
+
+        def with_zero_row(t):
+            # zero row: target of padding slots (virtual index n*r_max)
+            return jnp.concatenate(
+                [t, jnp.zeros((1, t.shape[1]), t.dtype)], axis=0
+            )
+
+        geo_paged = gather_pairs(with_zero_row(geo_packed), binning.paged_src,
+                                 binning.inv_paged, r_max)
+        feat_paged = gather_pairs(with_zero_row(feat_packed),
+                                  binning.paged_src, binning.inv_paged, r_max)
         interpret = jax.default_backend() != "tpu"
         max_chunks = config.max_pairs_per_tile // config.chunk
         tiles, tiles_photo, trans_tiles = composite_pairs(
-            rows_t, binning.starts, binning.counts, grid_w, grid_h, ts,
-            config.chunk, max_chunks, num_channels, interpret,
+            geo_paged.T, feat_paged.T, binning.starts, binning.counts,
+            grid_w, grid_h, ts, config.chunk, max_chunks, num_channels,
+            interpret,
         )
         image_photo = assemble_image(tiles_photo, grid_w, grid_h, ts, height, width)
     else:

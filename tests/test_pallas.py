@@ -99,6 +99,46 @@ class TestDualCotangent:
                                    rtol=3e-3)
 
 
+class TestFeatBf16:
+    """Mixed-precision feature plane (RasterConfig.feat_bf16): geometry and
+    all accumulation stay f32, so the render and its gradients track the f32
+    path to bf16 rounding (~0.4% relative)."""
+
+    def test_forward_close_to_f32(self):
+        scene = make_scene(n=50)
+        out_f = run(PL_CFG, scene)
+        out_b = run(dataclasses.replace(PL_CFG, feat_bf16=True), scene)
+        np.testing.assert_allclose(np.asarray(out_b["render"]),
+                                   np.asarray(out_f["render"]),
+                                   atol=2e-2, rtol=2e-2)
+        # transmittance only depends on geometry/opacity (f32): tight
+        np.testing.assert_allclose(np.asarray(out_b["final_T"]),
+                                   np.asarray(out_f["final_T"]), atol=3e-5)
+
+    def test_grads_close_to_f32(self):
+        scene = make_scene(n=40, opacity_max=0.8)
+        cam, args = scene
+        rng = np.random.default_rng(9)
+        gw = jnp.asarray(rng.normal(size=(HEIGHT, WIDTH, 3)).astype(np.float32))
+        bf_cfg = dataclasses.replace(PL_CFG, feat_bf16=True)
+
+        def loss(cfg, means, scales, q, opacity, features):
+            out = render(cam, means3d=means, scales=scales, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(out["render"] * gw)
+
+        g_f = jax.grad(lambda *a: loss(PL_CFG, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        g_b = jax.grad(lambda *a: loss(bf_cfg, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        for name, gf, gb in zip(["means", "scales", "q", "opacity", "features"],
+                                g_f, g_b):
+            scale = np.maximum(np.abs(np.asarray(gf)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(gb), np.asarray(gf), atol=2e-2 * scale, rtol=2e-2,
+                err_msg=f"bf16 gradient drift for {name}",
+            )
+
+
 class TestPallasBackward:
     def test_grads_match_xla(self):
         scene = make_scene(n=40, opacity_max=0.8)
