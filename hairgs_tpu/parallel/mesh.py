@@ -187,6 +187,115 @@ def make_shardmap_gaussian_step(
     return jax.jit(sharded)
 
 
+def make_shardmap_hair_step(
+    opt_cfg,
+    raster_cfg,
+    *,
+    width: int,
+    height: int,
+    active_sh_degree: int,
+    spatial_lr_scale: float = 1.0,
+    dist_to_scale_factor: float,
+    mesh: Mesh,
+    axis_name: str = "data",
+):
+    """Explicit-collective Stage-III (hair) DP step — the strand-model twin
+    of make_shardmap_gaussian_step. Render/photometric gradients are local
+    per view and pmean'd; the smoothness regularizer acts on the replicated
+    endpoints, so it is computed once per device (device-invariant) and
+    added AFTER the collective.
+
+    step_fn(params, graph, stats, opt_state, camera_batch, step,
+    smooth_pairs, smooth_valid) -> (params, stats, opt_state, metrics,
+    images-one-per-device)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    from hairgs_tpu.losses.strand import angle_smoothness_loss
+    from hairgs_tpu.models.gaussian import GaussianStats
+    from hairgs_tpu.models.hair import hair_render_inputs
+    from hairgs_tpu.optim import adam_step
+    from hairgs_tpu.train.trainer import (
+        _tree_add,
+        _update_stats,
+        hair_lr_tree,
+        render_loss_and_grads,
+    )
+
+    def local_step(params, graph, stats, opt_state, camera, step,
+                   smooth_pairs, smooth_valid):
+        def one_view(cam):
+            return render_loss_and_grads(
+                lambda p: hair_render_inputs(
+                    p, graph, cam.cam_center, active_sh_degree,
+                    dist_to_scale_factor),
+                params, cam, graph.seg_active, opt_cfg, raster_cfg,
+                width, height,
+            )
+
+        losses, grads, offset_grads, auxes = jax.vmap(one_view)(camera)
+        loss = jax.lax.pmean(jnp.mean(losses), axis_name)
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jnp.mean(g, axis=0), axis_name), grads
+        )
+        loss_dict = jax.tree.map(
+            lambda x: jax.lax.pmean(jnp.mean(x), axis_name),
+            auxes["loss_dict"],
+        )
+
+        if opt_cfg.lambda_smooth > 0:
+            def smooth_fn(p):
+                return opt_cfg.lambda_smooth * angle_smoothness_loss(
+                    p.endpoints, smooth_pairs, smooth_valid)
+
+            smooth_loss, smooth_grads = jax.value_and_grad(smooth_fn)(params)
+            loss = loss + smooth_loss
+            grads = _tree_add(grads, smooth_grads)
+            loss_dict = dict(loss_dict,
+                             smooth=smooth_loss / opt_cfg.lambda_smooth)
+
+        zero = GaussianStats(
+            max_radii2d=jnp.zeros_like(stats.max_radii2d),
+            xyz_grad_accum=jnp.zeros_like(stats.xyz_grad_accum),
+            denom=jnp.zeros_like(stats.denom),
+        )
+        local = _update_stats(zero, auxes["radii"], offset_grads,
+                              graph.seg_active)
+        stats = GaussianStats(
+            max_radii2d=jnp.maximum(
+                stats.max_radii2d,
+                jax.lax.pmax(local.max_radii2d, axis_name)),
+            xyz_grad_accum=stats.xyz_grad_accum
+            + jax.lax.psum(local.xyz_grad_accum, axis_name),
+            denom=stats.denom + jax.lax.psum(local.denom, axis_name),
+        )
+
+        lr_tree = hair_lr_tree(opt_cfg, step, spatial_lr_scale)
+        params, opt_state = adam_step(params, grads, opt_state, lr_tree)
+        train_psnr = loss_dict.pop("psnr")
+        metrics = dict(
+            loss=loss,
+            psnr=train_psnr,
+            **{f"loss/{k}": v for k, v in loss_dict.items()},
+            overflow_pairs=jax.lax.psum(
+                jnp.sum(auxes["overflow_pairs"]), axis_name),
+            overflow_tiles=jax.lax.psum(
+                jnp.sum(auxes["overflow_tiles"]), axis_name),
+        )
+        return params, stats, opt_state, metrics, auxes["image"][:1]
+
+    repl = PartitionSpec()
+    data = PartitionSpec(axis_name)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, repl, data, repl, repl, repl),
+        out_specs=(repl, repl, repl, repl, data),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_hair_step(step_fn, mesh: Mesh, axis_name: str = "data"):
     repl = NamedSharding(mesh, P())
 

@@ -124,6 +124,47 @@ class TestMesh:
                                        rtol=1e-4, atol=1e-6)
         assert imgs.shape[0] == 8  # one local first-view image per device
 
+    def test_shardmap_hair_matches_gspmd(self):
+        """Explicit-collective hair step vs the GSPMD-annotated hair step."""
+        import __graft_entry__ as ge
+        from hairgs_tpu.parallel.mesh import (
+            make_sharded_hair_step,
+            make_shardmap_hair_step,
+        )
+        from hairgs_tpu.core.camera import stack_cameras as stack
+        from hairgs_tpu.train import make_hair_train_step
+
+        model, opt, camera_at, (sp, sv), (w, h) = ge._tiny_hair_setup()
+        cams = [camera_at(0.8 * i) for i in range(8)]
+        batch = stack(cams)
+        cfg = RasterConfig(max_tiles_per_gaussian=8, max_pairs_per_tile=128,
+                           chunk=32)
+        mesh = make_mesh(8)
+        step_fn = make_hair_train_step(
+            opt, cfg, width=w, height=h, active_sh_degree=0,
+            spatial_lr_scale=model.spatial_lr_scale,
+            dist_to_scale_factor=model.dist_to_scale_factor)
+        gspmd = make_sharded_hair_step(step_fn, mesh)
+        copy = lambda t: jax.tree.map(jnp.array, t)
+        p1, s1, o1, m1, _ = gspmd(
+            copy(model.params), model.graph, copy(model.stats),
+            copy(model.opt_state), batch, jnp.asarray(1), sp, sv)
+        explicit = make_shardmap_hair_step(
+            opt, cfg, width=w, height=h, active_sh_degree=0,
+            spatial_lr_scale=model.spatial_lr_scale,
+            dist_to_scale_factor=model.dist_to_scale_factor, mesh=mesh)
+        p2, s2, o2, m2, _ = explicit(
+            model.params, model.graph, model.stats, model.opt_state, batch,
+            jnp.asarray(1), sp, sv)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-3)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_batch_actually_sharded(self):
         mesh = make_mesh(8)
         model, cams, opt = build_setup(8)
