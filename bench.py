@@ -70,15 +70,26 @@ def build_bench(n_gaussians=100_000, width=999, height=1000, seed=0):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from hairgs_tpu.render.renderer import RasterConfig
     from hairgs_tpu.train.trainer import make_gaussian_train_step
 
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--feat_bf16", action="store_true")
+    parser.add_argument("--max_tiles", type=int, default=16)
+    parser.add_argument("--chunk", type=int, default=128)
+    parser.add_argument("--max_pairs", type=int, default=2048)
+    args = parser.parse_args()
+
     model, opt, cam, width, height = build_bench()
-    cfg = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=2048,
-                       chunk=128, use_pallas=True)
+    cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
+                       max_pairs_per_tile=args.max_pairs,
+                       chunk=args.chunk, use_pallas=True,
+                       feat_bf16=args.feat_bf16)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 

@@ -19,30 +19,38 @@ def _window(window_size: int, sigma: float):
     return g
 
 
-def _filter(img, g1d):
-    """Depthwise Gaussian blur with zero SAME padding; img (H,W,C).
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, window_size: int, sigma: float):
+    """(n, n) banded matrix applying the 1D Gaussian with zero SAME padding
+    (rows near the edge truncate the kernel — exactly torch's zero-pad
+    conv). Symmetric since the Gaussian is."""
+    g = _window(window_size, sigma)
+    pad = window_size // 2
+    a = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    for o, wgt in enumerate(g):
+        j = i + (o - pad)
+        ok = (j >= 0) & (j < n)
+        a[i[ok], j[ok]] = wgt
+    return a
+
+
+def _filter(img, g1d, window_size: int = 11, sigma: float = 1.5):
+    """Separable Gaussian blur as two banded MATMULS; img (H,W,C).
 
     The reference's 2D window is the outer product of a 1D Gaussian with
     itself (loss/losses.py:34-40), so two 1D passes compute the identical
-    filter at ~1/5 of the work."""
-    c = img.shape[-1]
-    k = g1d.shape[0]
-    pad = k // 2
-    kern = jnp.asarray(g1d)
-
-    def dw_conv(x, kernel_hw):
-        kh, kw = kernel_hw.shape
-        kernel = jnp.broadcast_to(kernel_hw[:, :, None, None], (kh, kw, 1, c))
-        return jax.lax.conv_general_dilated(
-            x[None], kernel, window_strides=(1, 1),
-            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
-        )[0]
-
-    out = dw_conv(img, kern[:, None])  # vertical pass (k,1)
-    return dw_conv(out, kern[None, :])  # horizontal pass (1,k)
+    filter. Depthwise convolutions don't map onto the TPU MXU (they lower
+    to vector ops and dominated the loss cost); a banded (H,H) / (W,W)
+    matmul is the same linear operator and runs at matrix-unit speed."""
+    del g1d  # kept in the signature for compatibility; bands encode it
+    h, w, _ = img.shape
+    ah = jnp.asarray(_band_matrix(h, window_size, sigma))
+    aw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    x = jnp.einsum("ih,hwc->iwc", ah, img,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("jw,hwc->hjc", aw, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
