@@ -188,7 +188,9 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                     )  # inclusive prefix over the chunk
                     t_incl = trans[:] * jnp.exp(cum)
                     live = t_incl >= T_EPS
-                    t_excl = trans[:] * jnp.exp(cum - l)
+                    # exp(cum - l) == exp(cum)/(1-alpha); alpha <= 0.99 so
+                    # the divide is safe and cheaper than a second exp
+                    t_excl = t_incl / (1.0 - alpha)
                     w = jnp.where(live, alpha * t_excl, 0.0)
                     # (C, CH) x (PIX, CH) contracting CH -> (C, PIX): keeps
                     # the accumulator lane dim = pixels (no 128-lane padding)
@@ -297,7 +299,8 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 trans_in = tstarts_ref[t_local * max_chunks + j, :][:, None]
                 t_incl = trans_in * jnp.exp(cum)
                 live = t_incl >= T_EPS
-                t_excl = trans_in * jnp.exp(cum - l)
+                # see forward: one exp + divide instead of two exps
+                t_excl = t_incl / (1.0 - alpha)
                 w = jnp.where(live, alpha * t_excl, 0.0)
 
                 # f_k . g per (pixel, slot): contract C -> (PIX, CH)
