@@ -44,7 +44,15 @@ class SortedBinning(NamedTuple):
     overflow_tiles: jnp.ndarray  # () int32 beyond the per-tile processing cap
 
 
-def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian):
+def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
+                  xy=None, cull_radius=None, tile_size=16):
+    """Enumerate each Gaussian's candidate (tile, slot) pairs.
+
+    With xy + cull_radius given, corner tiles of the bounding rect whose
+    pixel box lies entirely beyond the alpha-cutoff radius are dropped
+    (exact: every pixel there fails the compositor's ALPHA_MIN gate; the
+    rect-vs-disk area ratio alone is ~4/pi). +1px box slack covers the
+    center-vs-pixel-grid offset."""
     n = rect.shape[0]
     r_max = max_tiles_per_gaussian
     num_tiles = grid_w * grid_h
@@ -56,6 +64,15 @@ def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian):
     tx = rect[:, 0:1] + (r[None, :] % rw_safe[:, None])
     ty = rect[:, 1:2] + (r[None, :] // rw_safe[:, None])
     pair_ok = valid[:, None] & (r[None, :] < count[:, None])
+    if xy is not None and cull_radius is not None:
+        ox = (tx * tile_size).astype(jnp.float32)
+        oy = (ty * tile_size).astype(jnp.float32)
+        dx = jnp.maximum(0.0, jnp.maximum(ox - 1.0 - xy[:, 0:1],
+                                          xy[:, 0:1] - (ox + tile_size)))
+        dy = jnp.maximum(0.0, jnp.maximum(oy - 1.0 - xy[:, 1:2],
+                                          xy[:, 1:2] - (oy + tile_size)))
+        reach = (cull_radius[:, None] + 1.0)
+        pair_ok = pair_ok & (dx * dx + dy * dy <= reach * reach)
     tile = jnp.where(pair_ok, ty * grid_w + tx, num_tiles)
     overflow_pairs = jnp.sum(jnp.where(valid, jnp.maximum(count - r_max, 0), 0))
     return tile, overflow_pairs
@@ -78,6 +95,9 @@ def bin_gaussians_sorted(
     max_tiles_per_gaussian: int,
     max_pairs_per_tile: int,
     chunk: int,
+    xy=None,
+    cull_radius=None,
+    tile_size: int = 16,
 ) -> SortedBinning:
     """Sort-based binning emitting a chunk-aligned paged layout + ranges
     (for the Pallas path — no (num_tiles, K) materialization).
@@ -92,7 +112,10 @@ def bin_gaussians_sorted(
     num_tiles = grid_w * grid_h
     p = n * r_max
     p_pad = paged_capacity(n, r_max, num_tiles, chunk)
-    tile, overflow_pairs = _expand_pairs(rect, valid, grid_w, grid_h, r_max)
+    tile, overflow_pairs = _expand_pairs(
+        rect, valid, grid_w, grid_h, r_max,
+        xy=xy, cull_radius=cull_radius, tile_size=tile_size,
+    )
 
     flat_idx = jnp.arange(p, dtype=jnp.int32)
 
@@ -243,23 +266,18 @@ def bin_gaussians(
     grid_h: int,
     max_tiles_per_gaussian: int,
     max_pairs_per_tile: int,
+    xy=None,
+    cull_radius=None,
+    tile_size: int = 16,
 ) -> Binning:
     n = rect.shape[0]
     r_max = max_tiles_per_gaussian
     num_tiles = grid_w * grid_h
 
-    rw = rect[:, 2] - rect[:, 0]
-    rh = rect[:, 3] - rect[:, 1]
-    count = rw * rh
-    rw_safe = jnp.maximum(rw, 1)
-
-    r = jnp.arange(r_max, dtype=jnp.int32)
-    tx = rect[:, 0:1] + (r[None, :] % rw_safe[:, None])
-    ty = rect[:, 1:2] + (r[None, :] // rw_safe[:, None])
-    pair_ok = valid[:, None] & (r[None, :] < count[:, None])
-    tile = jnp.where(pair_ok, ty * grid_w + tx, num_tiles)  # sentinel sorts last
-
-    overflow_pairs = jnp.sum(jnp.where(valid, jnp.maximum(count - r_max, 0), 0))
+    tile, overflow_pairs = _expand_pairs(
+        rect, valid, grid_w, grid_h, r_max,
+        xy=xy, cull_radius=cull_radius, tile_size=tile_size,
+    )
 
     depth_rep = jnp.broadcast_to(jax.lax.stop_gradient(depth)[:, None], (n, r_max))
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, r_max))

@@ -206,7 +206,10 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
 
             return 0
 
-        jax.lax.fori_loop(0, max_chunks, body, 0)
+        # dynamic bound: a 1-chunk tile runs 1 iteration, not max_chunks
+        # guard-only iterations (most tiles have far fewer chunks than the
+        # static capacity)
+        jax.lax.fori_loop(0, nchunks, body, 0)
         out_ref[:, pl.ds(t_local * pix, pix)] = accum[:]
         trans_ref[t_local, :] = trans[:, 0]
 
@@ -380,7 +383,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
 
             return 0
 
-        jax.lax.fori_loop(0, max_chunks, body, 0)
+        jax.lax.fori_loop(0, nchunks, body, 0)  # dynamic: see forward
         # drain this tile's outstanding stores before its buffers are reused
         @pl.when(nchunks >= 1)
         def _():

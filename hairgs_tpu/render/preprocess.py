@@ -14,6 +14,7 @@ kernel here (no reuse, no matmul structure).
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from hairgs_tpu.core.transforms import build_rotation
@@ -24,9 +25,10 @@ class Preprocessed(NamedTuple):
     depth: jnp.ndarray  # (N,) view-space z
     xy: jnp.ndarray  # (N,2) pixel-space mean
     conic: jnp.ndarray  # (N,3) inverse 2D covariance (a, b, c)
-    radius: jnp.ndarray  # (N,) float pixel radius (ceil'd)
-    rect: jnp.ndarray  # (N,4) int32 tile rect [xmin,ymin,xmax,ymax)
-    tiles_touched: jnp.ndarray  # (N,) int32
+    radius: jnp.ndarray  # (N,) float pixel radius (ceil'd, always 3-sigma)
+    rect: jnp.ndarray  # (N,4) int32 BINNING tile rect [xmin,ymin,xmax,ymax)
+    tiles_touched: jnp.ndarray  # (N,) int32 (3-sigma rect, validity/ref parity)
+    cull_radius: jnp.ndarray = None  # (N,) alpha-cutoff radius (<= radius)
 
 
 def ndc2pix(v, size):
@@ -88,12 +90,21 @@ def preprocess(
     scale_modifier: float = 1.0,
     cov3d_precomp=None,
     mean2d_offset=None,
+    opacity=None,
 ) -> Preprocessed:
     """Vectorized preprocess over all Gaussians.
 
     mean2d_offset: optional (N,2) zero tensor in *NDC half-extent units*; the
     gradient w.r.t. it equals the CUDA dL_dmean2D (backward_original.cu:460-546
     scales pixel grads by 0.5*W / 0.5*H) and drives densification stats.
+
+    opacity: optional (N,) ACTIVATED opacity. When given, the binning rect
+    uses the exact alpha-cutoff radius min(3*sigma, r_alpha) where
+    alpha <= opa * exp(-0.5 d^2 / lambda_max) < 1/255 beyond r_alpha — every
+    pixel of a dropped tile fails the compositor's ALPHA_MIN gate, so the
+    render is bit-identical with strictly fewer pairs (the CUDA reference
+    always bins the full 3-sigma square, forward.cu:232). The `radius`
+    output and the validity semantics keep the reference's 3-sigma values.
     """
     grid_w = (width + tile_size - 1) // tile_size
     grid_h = (height + tile_size - 1) // tile_size
@@ -131,12 +142,25 @@ def preprocess(
         # gradient hook: scaled so dL/d offset matches CUDA dL_dmean2D units
         xy = xy + mean2d_offset * jnp.asarray([0.5 * width, 0.5 * height], dtype=xy.dtype)
 
-    # tile rect (auxiliary.h:46-56)
-    rxmin = jnp.clip(jnp.floor((xy[..., 0] - radius) / tile_size), 0, grid_w).astype(jnp.int32)
-    rymin = jnp.clip(jnp.floor((xy[..., 1] - radius) / tile_size), 0, grid_h).astype(jnp.int32)
-    rxmax = jnp.clip(jnp.floor((xy[..., 0] + radius + tile_size - 1) / tile_size), 0, grid_w).astype(jnp.int32)
-    rymax = jnp.clip(jnp.floor((xy[..., 1] + radius + tile_size - 1) / tile_size), 0, grid_h).astype(jnp.int32)
+    def tile_rect(r):
+        # tile rect (auxiliary.h:46-56)
+        rxmin = jnp.clip(jnp.floor((xy[..., 0] - r) / tile_size), 0, grid_w).astype(jnp.int32)
+        rymin = jnp.clip(jnp.floor((xy[..., 1] - r) / tile_size), 0, grid_h).astype(jnp.int32)
+        rxmax = jnp.clip(jnp.floor((xy[..., 0] + r + tile_size - 1) / tile_size), 0, grid_w).astype(jnp.int32)
+        rymax = jnp.clip(jnp.floor((xy[..., 1] + r + tile_size - 1) / tile_size), 0, grid_h).astype(jnp.int32)
+        return rxmin, rymin, rxmax, rymax
+
+    rxmin, rymin, rxmax, rymax = tile_rect(radius)
     tiles_touched = (rxmax - rxmin) * (rymax - rymin)
+
+    cull_radius = radius
+    if opacity is not None:
+        r_alpha2 = 2.0 * jax.lax.stop_gradient(lambda1) * jnp.log(
+            jnp.maximum(jax.lax.stop_gradient(opacity) * 255.0, 1.0)
+        )
+        # +1px slack absorbs the float boundary (the gate is alpha >= 1/255)
+        cull_radius = jnp.minimum(radius, jnp.ceil(jnp.sqrt(r_alpha2)) + 1.0)
+        rxmin, rymin, rxmax, rymax = tile_rect(cull_radius)
 
     valid = in_frustum & det_ok & (tiles_touched > 0)
     if active is not None:
@@ -159,4 +183,5 @@ def preprocess(
         radius=radius,
         rect=rect,
         tiles_touched=tiles_touched,
+        cull_radius=cull_radius,
     )

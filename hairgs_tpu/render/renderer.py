@@ -97,6 +97,7 @@ def render(
         scale_modifier=scale_modifier,
         cov3d_precomp=cov3d_precomp,
         mean2d_offset=None if config.use_pallas else mean2d_offset,
+        opacity=opacity,
     )
 
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
@@ -115,6 +116,8 @@ def render(
             prep.rect, prep.depth, prep.valid, grid_w, grid_h,
             config.max_tiles_per_gaussian, config.max_pairs_per_tile,
             config.chunk,
+            xy=jax.lax.stop_gradient(prep.xy), cull_radius=prep.cull_radius,
+            tile_size=ts,
         )
         # NaN hygiene for inactive rows (mirrors the XLA path's slot zeroing)
         feat_eff = jnp.where(prep.valid[:, None], features, 0.0)
@@ -155,6 +158,8 @@ def render(
             grid_h,
             config.max_tiles_per_gaussian,
             config.max_pairs_per_tile,
+            xy=jax.lax.stop_gradient(prep.xy), cull_radius=prep.cull_radius,
+            tile_size=ts,
         )
 
         gid = binning.gather_idx  # (NT, K)
