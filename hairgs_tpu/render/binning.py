@@ -44,15 +44,53 @@ class SortedBinning(NamedTuple):
     overflow_tiles: jnp.ndarray  # () int32 beyond the per-tile processing cap
 
 
+def _tile_min_power(xy, conic, tx, ty, tile_size):
+    """Exact minimum of the Gaussian exponent q = 0.5·a·dx² + b·dx·dy +
+    0.5·c·dy² over each candidate tile's pixel box (±0.5px slack).
+
+    q is convex (the conic is PD for valid Gaussians), so the box minimum is
+    0 when the center lies inside, else the best of the four edge minima
+    (each a clamped 1D quadratic). Anisotropy-aware: for the elongated
+    footprints of hair segments this drops the off-axis tiles of the 3σ
+    square that a euclidean disk test cannot."""
+    a = conic[:, 0:1]
+    b = conic[:, 1:2]
+    c = conic[:, 2:3]
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c, 1e-12)
+    lx = (tx * tile_size).astype(jnp.float32) - 0.5 - xy[:, 0:1]
+    hx = lx + tile_size
+    ly = (ty * tile_size).astype(jnp.float32) - 0.5 - xy[:, 1:2]
+    hy = ly + tile_size
+
+    def q(dx, dy):
+        return 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+
+    def edge_x(dx_e):  # fixed dx, optimize dy
+        dy = jnp.clip(-b * dx_e / c_s, ly, hy)
+        return q(dx_e, dy)
+
+    def edge_y(dy_e):  # fixed dy, optimize dx
+        dx = jnp.clip(-b * dy_e / a_s, lx, hx)
+        return q(dx, dy_e)
+
+    inside = (lx <= 0.0) & (hx >= 0.0) & (ly <= 0.0) & (hy >= 0.0)
+    q_edges = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(hx)),
+        jnp.minimum(edge_y(ly), edge_y(hy)),
+    )
+    return jnp.where(inside, 0.0, q_edges)
+
+
 def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
-                  xy=None, cull_radius=None, tile_size=16):
+                  xy=None, conic=None, q_cut=None, tile_size=16):
     """Enumerate each Gaussian's candidate (tile, slot) pairs.
 
-    With xy + cull_radius given, corner tiles of the bounding rect whose
-    pixel box lies entirely beyond the alpha-cutoff radius are dropped
-    (exact: every pixel there fails the compositor's ALPHA_MIN gate; the
-    rect-vs-disk area ratio alone is ~4/pi). +1px box slack covers the
-    center-vs-pixel-grid offset."""
+    With xy + conic + q_cut given, tiles where the Gaussian's exponent
+    cannot reach alpha >= 1/255 (min-over-box q > q_cut = ln(255·opa)) are
+    dropped. Exact: every pixel of a dropped tile fails the compositor's
+    ALPHA_MIN gate, so the render and all gradients are unchanged while
+    pair lists and overflow shrink."""
     n = rect.shape[0]
     r_max = max_tiles_per_gaussian
     num_tiles = grid_w * grid_h
@@ -64,15 +102,9 @@ def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
     tx = rect[:, 0:1] + (r[None, :] % rw_safe[:, None])
     ty = rect[:, 1:2] + (r[None, :] // rw_safe[:, None])
     pair_ok = valid[:, None] & (r[None, :] < count[:, None])
-    if xy is not None and cull_radius is not None:
-        ox = (tx * tile_size).astype(jnp.float32)
-        oy = (ty * tile_size).astype(jnp.float32)
-        dx = jnp.maximum(0.0, jnp.maximum(ox - 1.0 - xy[:, 0:1],
-                                          xy[:, 0:1] - (ox + tile_size)))
-        dy = jnp.maximum(0.0, jnp.maximum(oy - 1.0 - xy[:, 1:2],
-                                          xy[:, 1:2] - (oy + tile_size)))
-        reach = (cull_radius[:, None] + 1.0)
-        pair_ok = pair_ok & (dx * dx + dy * dy <= reach * reach)
+    if xy is not None and conic is not None and q_cut is not None:
+        q_min = _tile_min_power(xy, conic, tx, ty, tile_size)
+        pair_ok = pair_ok & (q_min <= q_cut[:, None] + 1e-4)
     tile = jnp.where(pair_ok, ty * grid_w + tx, num_tiles)
     overflow_pairs = jnp.sum(jnp.where(valid, jnp.maximum(count - r_max, 0), 0))
     return tile, overflow_pairs
@@ -96,7 +128,8 @@ def bin_gaussians_sorted(
     max_pairs_per_tile: int,
     chunk: int,
     xy=None,
-    cull_radius=None,
+    conic=None,
+    q_cut=None,
     tile_size: int = 16,
 ) -> SortedBinning:
     """Sort-based binning emitting a chunk-aligned paged layout + ranges
@@ -114,7 +147,7 @@ def bin_gaussians_sorted(
     p_pad = paged_capacity(n, r_max, num_tiles, chunk)
     tile, overflow_pairs = _expand_pairs(
         rect, valid, grid_w, grid_h, r_max,
-        xy=xy, cull_radius=cull_radius, tile_size=tile_size,
+        xy=xy, conic=conic, q_cut=q_cut, tile_size=tile_size,
     )
 
     flat_idx = jnp.arange(p, dtype=jnp.int32)
@@ -267,7 +300,8 @@ def bin_gaussians(
     max_tiles_per_gaussian: int,
     max_pairs_per_tile: int,
     xy=None,
-    cull_radius=None,
+    conic=None,
+    q_cut=None,
     tile_size: int = 16,
 ) -> Binning:
     n = rect.shape[0]
@@ -276,7 +310,7 @@ def bin_gaussians(
 
     tile, overflow_pairs = _expand_pairs(
         rect, valid, grid_w, grid_h, r_max,
-        xy=xy, cull_radius=cull_radius, tile_size=tile_size,
+        xy=xy, conic=conic, q_cut=q_cut, tile_size=tile_size,
     )
 
     depth_rep = jnp.broadcast_to(jax.lax.stop_gradient(depth)[:, None], (n, r_max))

@@ -101,6 +101,11 @@ def render(
     )
 
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
+    # alpha-cutoff exponent for the exact tile cull: a tile whose min
+    # quadratic exceeds ln(255*opa) can never pass the ALPHA_MIN gate
+    q_cut = jax.lax.stop_gradient(
+        jnp.log(jnp.maximum(opa_eff, 1e-12) * 255.0)
+    )
     num_channels = features.shape[-1]
     image_photo = None
 
@@ -116,7 +121,8 @@ def render(
             prep.rect, prep.depth, prep.valid, grid_w, grid_h,
             config.max_tiles_per_gaussian, config.max_pairs_per_tile,
             config.chunk,
-            xy=jax.lax.stop_gradient(prep.xy), cull_radius=prep.cull_radius,
+            xy=jax.lax.stop_gradient(prep.xy),
+            conic=jax.lax.stop_gradient(prep.conic), q_cut=q_cut,
             tile_size=ts,
         )
         # NaN hygiene for inactive rows (mirrors the XLA path's slot zeroing)
@@ -158,7 +164,8 @@ def render(
             grid_h,
             config.max_tiles_per_gaussian,
             config.max_pairs_per_tile,
-            xy=jax.lax.stop_gradient(prep.xy), cull_radius=prep.cull_radius,
+            xy=jax.lax.stop_gradient(prep.xy),
+            conic=jax.lax.stop_gradient(prep.conic), q_cut=q_cut,
             tile_size=ts,
         )
 

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Resume/continue Stage III from the latest checkpoint in the model dir,
+# then run the final evaluation (same flags as run_reference_schedule.sh).
+set -e
+RUN=${1:-_runs/syn150_512}
+DATA="$RUN/data"
+OUT="$RUN/model"
+COMMON="--max_tiles_per_gaussian 64 --capacity_round 65536 --eval_frequency 10000"
+
+echo "=== Stage III: strand-graph optimization (resume) ==="
+python train.py -s "$DATA" -m "$OUT" $COMMON
+
+echo "=== Evaluation ==="
+LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
+python eval.py -s "$DATA" -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs
+echo "=== DONE ==="
