@@ -188,9 +188,41 @@ class GaussianModel:
         self._install(arrays, n)
 
     def _install(self, arrays: dict, count: int, moments: Optional[dict] = None,
-                 step: int = 0):
-        """Write host arrays into a (re)padded device arena."""
+                 step: int = 0, moment_maps=None):
+        """Write host arrays into a (re)padded device arena.
+
+        moment_maps: (src, zero_planes) gather-or-zero map into the CURRENT
+        opt_state rows (-1 = zero-init) — the Adam carry is applied on
+        device, avoiding the ~1 MB/s device->host pull of the moment
+        arenas (CLAUDE.md)."""
         cap = _round_capacity(count, self.capacity_round)
+
+        remapped = None
+        if moment_maps is not None and self.opt_state is not None:
+            src, zero_planes = moment_maps
+            idx = jnp.asarray(np.clip(src, 0, None).astype(np.int32))
+            live = jnp.asarray(src >= 0)
+            pad = cap - src.shape[0]
+
+            def take(name, arr):
+                if name in zero_planes:
+                    return jnp.zeros((cap,) + arr.shape[1:], arr.dtype)
+                g = arr[idx]
+                g = jnp.where(live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0)
+                return jnp.concatenate(
+                    [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], axis=0
+                ) if pad else g
+
+            def remap_tree(tree):
+                return GaussianParams(
+                    **{k: take(k, v) for k, v in tree._asdict().items()})
+
+            remapped = AdamState(
+                mu=remap_tree(self.opt_state.mu),
+                nu=remap_tree(self.opt_state.nu),
+                step=jnp.asarray(step, jnp.int32),
+            )
+
         padded = {k: jnp.asarray(_pad_to(v, cap)) for k, v in arrays.items()}
         self.params = GaussianParams(**padded)
         self.active = jnp.arange(cap) < count
@@ -200,7 +232,9 @@ class GaussianModel:
             xyz_grad_accum=jnp.zeros((cap, 1), jnp.float32),
             denom=jnp.zeros((cap, 1), jnp.float32),
         )
-        if moments is None:
+        if remapped is not None:
+            self.opt_state = remapped
+        elif moments is None:
             self.opt_state = adam_init(self.params)
         else:
             mu = GaussianParams(**{k: jnp.asarray(_pad_to(v, cap)) for k, v in moments["mu"].items()})
@@ -242,14 +276,12 @@ class GaussianModel:
         """opacity <- inverse_sigmoid(min(opacity, 0.01)), moments zeroed
         (scene/gaussian_model.py:414-419)."""
         arrays = self.host_arrays()
-        mom = self.host_moments()
         opa = self.np_opacity(arrays)
         new = np.log(np.minimum(opa, 0.01) / (1 - np.minimum(opa, 0.01)))
         arrays["opacity"] = new.astype(np.float32)
-        mom["mu"]["opacity"] = np.zeros_like(mom["mu"]["opacity"])
-        mom["nu"]["opacity"] = np.zeros_like(mom["nu"]["opacity"])
         step = int(self.opt_state.step)
-        self._install(arrays, self.count, moments=mom, step=step)
+        self._install(arrays, self.count, step=step,
+                      moment_maps=(np.arange(self.count), frozenset({"opacity"})))
 
     def densification(self, extent: float, max_screen_size, training_info=None):
         """Clone + split + prune; scene/gaussian_model.py:636-673.
@@ -257,7 +289,9 @@ class GaussianModel:
         Stats (grad accum / denom / max_radii2d) are read before and reset to
         zero after, exactly as densification_postfix does (l.538-542)."""
         arrays = self.host_arrays()
-        mom = self.host_moments()
+        # moments stay on device: surgery is tracked as a gather-or-zero
+        # index map and applied by _install (device->host is ~1 MB/s)
+        src = np.arange(self.count, dtype=np.int64)
         stats_np = {
             "max_radii2d": np.asarray(self.stats.max_radii2d)[: self.count],
             "xyz_grad_accum": np.asarray(self.stats.xyz_grad_accum)[: self.count],
@@ -271,16 +305,10 @@ class GaussianModel:
 
         info = {}
 
-        def cat(arrays, mom, sel):
+        def cat(arrays, src, sel):
             new = {k: np.concatenate([v, v[sel]], axis=0) for k, v in arrays.items()}
-            newm = {
-                kind: {
-                    k: np.concatenate([v, np.zeros_like(v[sel])], axis=0)
-                    for k, v in mom[kind].items()
-                }
-                for kind in ("mu", "nu")
-            }
-            return new, newm
+            src = np.concatenate([src, np.full(int(sel.sum()), -1, np.int64)])
+            return new, src
 
         # --- clone (l.602-634): small gaussians with large view grad
         scaling = self.np_scaling(arrays)
@@ -288,7 +316,7 @@ class GaussianModel:
             scaling.max(axis=1) <= split_threshold
         )
         info["clone"] = int(sel.sum())
-        arrays, mom = cat(arrays, mom, sel)
+        arrays, src = cat(arrays, src, sel)
 
         # --- split (l.544-600): large gaussians; sample N=2 from the pdf
         n_now = arrays["xyz"].shape[0]
@@ -320,19 +348,11 @@ class GaussianModel:
                 "mask": np.tile(arrays["mask"][sel], (N, 1)),
             }
             arrays = {k: np.concatenate([v, add[k]], axis=0) for k, v in arrays.items()}
-            mom = {
-                kind: {
-                    k: np.concatenate([v, np.zeros_like(add[k])], axis=0)
-                    for k, v in mom[kind].items()
-                }
-                for kind in ("mu", "nu")
-            }
+            src = np.concatenate([src, np.full(new_xyz.shape[0], -1, np.int64)])
             keep = np.ones(arrays["xyz"].shape[0], dtype=bool)
             keep[:n_now][sel] = False  # prune split originals
             arrays = {k: v[keep] for k, v in arrays.items()}
-            mom = {
-                kind: {k: v[keep] for k, v in mom[kind].items()} for kind in ("mu", "nu")
-            }
+            src = src[keep]
 
         # --- prune (l.646-670)
         opa = self.np_opacity(arrays)[:, 0]
@@ -351,14 +371,13 @@ class GaussianModel:
         if prune.sum() != arrays["xyz"].shape[0]:
             keep = ~prune
             arrays = {k: v[keep] for k, v in arrays.items()}
-            mom = {
-                kind: {k: v[keep] for k, v in mom[kind].items()} for kind in ("mu", "nu")
-            }
+            src = src[keep]
 
         if training_info is not None:
             training_info.densification_info.update(info)
-        self._install(arrays, arrays["xyz"].shape[0], moments=mom,
-                      step=int(self.opt_state.step))
+        self._install(arrays, arrays["xyz"].shape[0],
+                      step=int(self.opt_state.step),
+                      moment_maps=(src, frozenset()))
         return info
 
     # -- checkpoint I/O --------------------------------------------------
@@ -527,9 +546,9 @@ class GaussianModel:
 
     def clean_gaussians(self):
         arrays = self.host_arrays()
-        mom = self.host_moments()
         keep = self.compute_foreground_mask_np(arrays)
         arrays = {k: v[keep] for k, v in arrays.items()}
-        mom = {kind: {k: v[keep] for k, v in mom[kind].items()} for kind in ("mu", "nu")}
-        self._install(arrays, arrays["xyz"].shape[0], moments=mom,
-                      step=int(self.opt_state.step))
+        src = np.arange(self.count, dtype=np.int64)[keep]
+        self._install(arrays, arrays["xyz"].shape[0],
+                      step=int(self.opt_state.step),
+                      moment_maps=(src, frozenset()))

@@ -143,16 +143,60 @@ class HairModel:
     # -- arena management ------------------------------------------------
 
     def install(self, endpoints: np.ndarray, endpoint_pairs: np.ndarray,
-                seg_arrays: dict, moments: Optional[dict] = None, step: int = 0):
+                seg_arrays: dict, moments: Optional[dict] = None, step: int = 0,
+                moment_maps=None):
         """Write host arrays into (re)padded device arenas.
 
         seg_arrays: features_dc / features_rest / opacity / mask / width.
         moments (optional): {"mu": {...}, "nu": {...}} including "endpoints".
+        moment_maps (optional): (ep_src, seg_src, zero_planes) gather-or-zero
+        index maps into the CURRENT opt_state rows (-1 = zero-init) — the
+        Adam carry is then computed on device, avoiding the ~1 MB/s
+        device->host pull of the moment arenas (CLAUDE.md).
         """
         ne = endpoints.shape[0]
         ns = endpoint_pairs.shape[0]
         cap_e = _round_capacity(ne, self.capacity_round)
         cap_s = _round_capacity(ns, self.capacity_round)
+
+        remapped = None
+        if moment_maps is not None and self.opt_state is not None:
+            ep_src, seg_src, zero_planes = moment_maps
+
+            def dev_map(src, cap):
+                idx = jnp.asarray(np.clip(src, 0, None).astype(np.int32))
+                live = jnp.asarray(src >= 0)
+                pad = cap - src.shape[0]
+
+                def take(name, arr):
+                    if name in zero_planes:
+                        return jnp.zeros((cap,) + arr.shape[1:], arr.dtype)
+                    g = arr[idx]
+                    g = jnp.where(live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0)
+                    return jnp.concatenate(
+                        [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], axis=0
+                    ) if pad else g
+
+                return take
+
+            take_e = dev_map(ep_src, cap_e)
+            take_s = dev_map(seg_src, cap_s)
+
+            def remap_tree(tree):
+                return HairParams(
+                    endpoints=take_e("endpoints", tree.endpoints),
+                    features_dc=take_s("features_dc", tree.features_dc),
+                    features_rest=take_s("features_rest", tree.features_rest),
+                    opacity=take_s("opacity", tree.opacity),
+                    mask=take_s("mask", tree.mask),
+                    width=take_s("width", tree.width),
+                )
+
+            remapped = AdamState(
+                mu=remap_tree(self.opt_state.mu),
+                nu=remap_tree(self.opt_state.nu),
+                step=jnp.asarray(step, jnp.int32),
+            )
         self.params = HairParams(
             endpoints=jnp.asarray(_pad_to(endpoints.astype(np.float32), cap_e)),
             features_dc=jnp.asarray(_pad_to(seg_arrays["features_dc"].astype(np.float32), cap_s)),
@@ -174,7 +218,9 @@ class HairModel:
             xyz_grad_accum=jnp.zeros((cap_s, 1), jnp.float32),
             denom=jnp.zeros((cap_s, 1), jnp.float32),
         )
-        if moments is None:
+        if remapped is not None:
+            self.opt_state = remapped
+        elif moments is None:
             self.opt_state = adam_init(self.params)
         else:
             def mk(kind):
@@ -191,18 +237,26 @@ class HairModel:
             self.opt_state = AdamState(mu=mk("mu"), nu=mk("nu"),
                                        step=jnp.asarray(step, jnp.int32))
 
-    def host_arrays(self):
+    def host_arrays(self, keys=None):
+        """Pull (a subset of) the arenas to host. Device->host runs at
+        ~1 MB/s through the remote TPU tunnel, so callers that only need a
+        few planes should pass `keys` (e.g. strand walking needs
+        endpoints/pairs/opacity/mask, not features)."""
         e, s = self.num_endpoints, self.num_segments
         p = self.params
-        return dict(
-            endpoints=np.array(np.asarray(p.endpoints)[:e]),
-            endpoint_pairs=np.array(np.asarray(self.graph.endpoint_pairs)[:s]),
-            features_dc=np.array(np.asarray(p.features_dc)[:s]),
-            features_rest=np.array(np.asarray(p.features_rest)[:s]),
-            opacity=np.array(np.asarray(p.opacity)[:s]),
-            mask=np.array(np.asarray(p.mask)[:s]),
-            width=np.array(np.asarray(p.width)[:s]),
+        sources = dict(
+            endpoints=(p.endpoints, e),
+            endpoint_pairs=(self.graph.endpoint_pairs, s),
+            features_dc=(p.features_dc, s),
+            features_rest=(p.features_rest, s),
+            opacity=(p.opacity, s),
+            mask=(p.mask, s),
+            width=(p.width, s),
         )
+        if keys is None:
+            keys = sources.keys()
+        return {k: np.array(np.asarray(sources[k][0])[: sources[k][1]])
+                for k in keys}
 
     def host_moments(self):
         e, s = self.num_endpoints, self.num_segments

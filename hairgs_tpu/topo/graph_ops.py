@@ -23,17 +23,30 @@ SEG_KEYS = ("features_dc", "features_rest", "opacity", "mask", "width")
 
 
 class HairHostState:
-    """Mutable host mirror of a HairModel's arenas during a topology pass."""
+    """Mutable host mirror of a HairModel's arenas during a topology pass.
 
-    def __init__(self, model):
+    Adam moments are NOT pulled to host (device->host transfers run at
+    ~1 MB/s through the remote TPU tunnel — CLAUDE.md): every moment
+    mutation in the reference surgery is either "keep this row", "new row
+    starts at zero" (_cat/_prune_tensor_in_optimizer, l.482-532) or "zero a
+    whole plane" (reset_opacity), so the state tracks gather-or-zero index
+    maps (`ep_src`, `seg_src`, `zero_moment_planes`) and install() applies
+    them as device-side gathers instead.
+
+    `arrays` lets callers hand in a just-installed host mirror to skip the
+    pull entirely (densify -> merge chaining in the same topology event).
+    """
+
+    def __init__(self, model, arrays=None):
         self.model = model
-        arrays = model.host_arrays()
+        if arrays is None:
+            arrays = model.host_arrays()
         self.endpoints = arrays["endpoints"]
         self.pairs = arrays["endpoint_pairs"].astype(np.int64)
         self.seg = {k: arrays[k] for k in SEG_KEYS}
-        mom = model.host_moments()
-        self.mu = mom["mu"]
-        self.nu = mom["nu"]
+        self.ep_src = np.arange(self.endpoints.shape[0], dtype=np.int64)
+        self.seg_src = np.arange(self.pairs.shape[0], dtype=np.int64)
+        self.zero_moment_planes = set()
         self.stats = {
             "max_radii2d": np.array(np.asarray(model.stats.max_radii2d)[: model.num_segments]),
             "xyz_grad_accum": np.array(np.asarray(model.stats.xyz_grad_accum)[: model.num_segments]),
@@ -44,6 +57,14 @@ class HairHostState:
             if model.strand_root_endpoint_idx is not None
             else np.zeros(0, dtype=np.int64)
         )
+
+    def as_arrays(self):
+        """host_arrays()-shaped dict view of the current mirror (valid after
+        install(): identical to the device content, no pull needed)."""
+        out = dict(self.seg)
+        out["endpoints"] = self.endpoints
+        out["endpoint_pairs"] = self.pairs
+        return out
 
     # -- activations ------------------------------------------------------
 
@@ -76,14 +97,14 @@ class HairHostState:
         self.endpoints = np.concatenate(
             [self.endpoints, new_endpoints.astype(np.float32)], axis=0
         )
-        for kind in (self.mu, self.nu):
-            kind["endpoints"] = np.concatenate(
-                [kind["endpoints"], np.zeros_like(new_endpoints, dtype=np.float32)], axis=0
-            )
+        self.ep_src = np.concatenate(
+            [self.ep_src, np.full(new_endpoints.shape[0], -1, np.int64)]
+        )
         for k in SEG_KEYS:
             self.seg[k] = np.concatenate([self.seg[k], new_seg[k].astype(self.seg[k].dtype)], axis=0)
-            for kind in (self.mu, self.nu):
-                kind[k] = np.concatenate([kind[k], np.zeros_like(new_seg[k], dtype=np.float32)], axis=0)
+        self.seg_src = np.concatenate(
+            [self.seg_src, np.full(new_pairs.shape[0], -1, np.int64)]
+        )
         ns = self.pairs.shape[0]
         self.stats = {
             "max_radii2d": np.zeros(ns, np.float32),
@@ -111,12 +132,10 @@ class HairHostState:
             root_alive = ep_keep[self.strand_root_idx]
             self.strand_root_idx = mapping[self.strand_root_idx[root_alive]]
         self.endpoints = self.endpoints[ep_keep]
-        for kind in (self.mu, self.nu):
-            kind["endpoints"] = kind["endpoints"][ep_keep]
+        self.ep_src = self.ep_src[ep_keep]
         for k in SEG_KEYS:
             self.seg[k] = self.seg[k][keep]
-            for kind in (self.mu, self.nu):
-                kind[k] = kind[k][keep]
+        self.seg_src = self.seg_src[keep]
         self.stats = {k: v[keep] for k, v in self.stats.items()}
 
     def get_row_indices(self, endpoint_id: np.ndarray):
@@ -178,12 +197,11 @@ class HairHostState:
 
     def install(self):
         m = self.model
-        moments = {
-            "mu": self.mu,
-            "nu": self.nu,
-        }
         step = int(m.opt_state.step) if m.opt_state is not None else 0
-        m.install(self.endpoints, self.pairs, self.seg, moments=moments, step=step)
+        m.install(self.endpoints, self.pairs, self.seg,
+                  moment_maps=(self.ep_src, self.seg_src,
+                               frozenset(self.zero_moment_planes)),
+                  step=step)
         m.strand_root_endpoint_idx = self.strand_root_idx
         # stats were reset by install(); restore surviving values
         import jax.numpy as jnp
@@ -324,9 +342,13 @@ def _prune_strategy(st: HairHostState, extent, max_screen_size, cfg, info,
 # public entry points (operate on a HairModel)
 # --------------------------------------------------------------------------
 
-def hair_densification(model, extent, max_screen_size, training_info=None):
+def hair_densification(model, extent, max_screen_size, training_info=None,
+                       return_arrays=False):
     """One densification step: clone, split, weld collapsed, prune
-    (hair_gaussian_model.py:788-817), then refresh strands info."""
+    (hair_gaussian_model.py:788-817), then refresh strands info.
+
+    With return_arrays=True also returns the post-install host mirror so a
+    merge in the same topology event skips its device->host pull."""
     from hairgs_tpu.topo.strands import compute_strands_info
 
     st = HairHostState(model)
@@ -340,25 +362,32 @@ def hair_densification(model, extent, max_screen_size, training_info=None):
     _prune_strategy(st, extent, max_screen_size, model.training_args, info,
                     avoid_connected=True)
     st.install()
-    compute_strands_info(model)
+    arrays = st.as_arrays()
+    compute_strands_info(model, arrays=arrays)
     if training_info is not None:
         training_info.densification_info.update(info)
-    return info
+    return (info, arrays) if return_arrays else info
 
 
-def hair_merging(model, training_info=None):
-    """Greedy endpoint merging (l.1079-1096)."""
+def hair_merging(model, training_info=None, arrays=None):
+    """Greedy endpoint merging (l.1079-1096).
+
+    `arrays`: post-install host mirror from a densification in the same
+    topology event (model.strands_info is then already fresh)."""
     from hairgs_tpu.topo.merge import compute_endpoint_pair_to_merge
     from hairgs_tpu.topo.strands import compute_strands_info
 
-    compute_strands_info(model)
-    pairs = compute_endpoint_pair_to_merge(model)
+    if arrays is None:
+        st = HairHostState(model)
+        compute_strands_info(model, arrays=st.as_arrays())
+    else:
+        st = HairHostState(model, arrays=arrays)
+    pairs = compute_endpoint_pair_to_merge(model, st=st)
     if training_info is not None:
         training_info.densification_info["merge"] = int(pairs.shape[0])
-    st = HairHostState(model)
     st.merge_endpoint_pairs(pairs)
     st.install()
-    compute_strands_info(model)
+    compute_strands_info(model, arrays=st.as_arrays())
     return pairs.shape[0]
 
 
@@ -418,8 +447,7 @@ def hair_reset_opacity(model):
     opa = st.opacity_act()
     capped = np.minimum(opa, 0.01)
     st.seg["opacity"] = np.log(capped / (1 - capped)).astype(np.float32)[:, None]
-    st.mu["opacity"] = np.zeros_like(st.mu["opacity"])
-    st.nu["opacity"] = np.zeros_like(st.nu["opacity"])
+    st.zero_moment_planes.add("opacity")
     st.install()
 
 

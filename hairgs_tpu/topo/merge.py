@@ -13,7 +13,8 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 
-def compute_endpoint_pair_to_merge(model, max_num_nn: int = -1) -> np.ndarray:
+def compute_endpoint_pair_to_merge(model, max_num_nn: int = -1,
+                                   st=None) -> np.ndarray:
     cfg = model.training_args
     dist_th = model.merge_dist_th
     angle_th = model.merge_angle_th
@@ -21,7 +22,8 @@ def compute_endpoint_pair_to_merge(model, max_num_nn: int = -1) -> np.ndarray:
 
     from hairgs_tpu.topo.graph_ops import HairHostState
 
-    st = HairHostState(model)
+    if st is None:
+        st = HairHostState(model)
     info = model.strands_info
 
     # strand endpoints (appear once), restricted to foreground segments

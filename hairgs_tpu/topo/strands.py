@@ -79,11 +79,17 @@ def _walk_strands_np(endpoint_pairs: np.ndarray, num_endpoints: int):
     return strands, strand_rows, id_to_strand, complementary
 
 
-def compute_strands_info(model, only_foreground: bool = True) -> StrandsInfo:
-    """Build StrandsInfo for a HairModel and store it on the model."""
+def compute_strands_info(model, only_foreground: bool = True,
+                         arrays=None) -> StrandsInfo:
+    """Build StrandsInfo for a HairModel and store it on the model.
+
+    `arrays` lets callers reuse an existing host mirror (topology drivers);
+    otherwise only the needed planes are pulled (device->host is ~1 MB/s)."""
     if model.ref_strand_root is None or model.ref_strand_root.shape[0] == 0:
         raise ValueError("ref_strand_root is not set")
-    arrays = model.host_arrays()
+    if arrays is None:
+        arrays = model.host_arrays(
+            keys=("endpoints", "endpoint_pairs", "opacity", "mask"))
     endpoints = arrays["endpoints"]
     endpoint_pairs = arrays["endpoint_pairs"].astype(np.int64)
     if only_foreground:
@@ -125,7 +131,7 @@ def update_strand_root(model, dist_th: float = 1e-2):
     dist_th (hair_gaussian_model.py:1388-1391); replicated as-is."""
     if model.ref_strand_root is None or model.ref_strand_root.shape[0] == 0:
         return
-    arrays = model.host_arrays()
+    arrays = model.host_arrays(keys=("endpoints",))
     endpoints = arrays["endpoints"]
     tree = cKDTree(endpoints)
     d, nn = tree.query(model.ref_strand_root, k=1)
@@ -140,7 +146,7 @@ def magnet_indices(model, max_endpoints: Optional[int] = None):
     the magnet loss (loss/losses.py:117-126 pairs the tips with their
     *segment* complementary, which defines the tip direction), padded for the
     jitted step."""
-    arrays = model.host_arrays()
+    arrays = model.host_arrays(keys=("endpoint_pairs",))
     pairs = arrays["endpoint_pairs"].astype(np.int64)
     ids_all, counts = np.unique(pairs, return_counts=True)
     tips = ids_all[counts == 1].astype(np.int32)

@@ -317,3 +317,95 @@ class TestConversion:
         a2 = m2.host_arrays()
         np.testing.assert_allclose(a1["endpoints"], a2["endpoints"])
         np.testing.assert_array_equal(a1["endpoint_pairs"], a2["endpoint_pairs"])
+
+
+class TestMomentCarryMaps:
+    """The topology surgery keeps Adam moments on device and routes them
+    through gather-or-zero index maps (device->host is ~1 MB/s on the remote
+    runtime). These tests pin the carry semantics: surviving rows keep their
+    exact moment values, new rows start at zero, zeroed planes zero."""
+
+    def _stamp_moments(self, model):
+        import jax.numpy as jnp
+
+        def stamp(tree, base):
+            d = tree._asdict()
+            out = {}
+            for k, v in d.items():
+                r = jnp.arange(v.shape[0], dtype=jnp.float32) + base
+                out[k] = jnp.broadcast_to(
+                    r.reshape((-1,) + (1,) * (v.ndim - 1)), v.shape
+                ).astype(v.dtype)
+            return type(tree)(**out)
+
+        model.opt_state = model.opt_state._replace(
+            mu=stamp(model.opt_state.mu, 1.0),
+            nu=stamp(model.opt_state.nu, 1000.0),
+        )
+
+    def test_gaussian_prune_carries_rows(self):
+        from hairgs_tpu.models.gaussian import GaussianModel
+
+        rng = np.random.default_rng(0)
+        n = 12
+        pts = rng.uniform(-0.05, 0.05, (n, 3)).astype(np.float32)
+        m = GaussianModel(sh_degree=0, capacity_round=16)
+        m.create_from_pcd(pts, rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        m.training_setup(OptimizationConfig())
+        # drop opacity of rows 3 and 7 below the prune threshold
+        arrays = m.host_arrays()
+        arrays["opacity"][[3, 7]] = -20.0
+        m._install(arrays, n, moments=m.host_moments(),
+                   step=int(m.opt_state.step))
+        self._stamp_moments(m)
+        mu_before = np.asarray(m.opt_state.mu.xyz)[:n].copy()
+        m.densification(extent=1.0, max_screen_size=None)
+        keep = np.setdiff1d(np.arange(n), [3, 7])
+        mu_after = np.asarray(m.opt_state.mu.xyz)[: m.count]
+        np.testing.assert_allclose(mu_after[: len(keep)], mu_before[keep])
+        # rows appended by clone/split (if any) must be zero
+        np.testing.assert_allclose(mu_after[len(keep):], 0.0)
+
+    def test_gaussian_reset_opacity_zeroes_one_plane(self):
+        from hairgs_tpu.models.gaussian import GaussianModel
+
+        rng = np.random.default_rng(1)
+        n = 8
+        pts = rng.uniform(-0.05, 0.05, (n, 3)).astype(np.float32)
+        m = GaussianModel(sh_degree=0, capacity_round=16)
+        m.create_from_pcd(pts, rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        m.training_setup(OptimizationConfig())
+        self._stamp_moments(m)
+        mu_xyz = np.asarray(m.opt_state.mu.xyz)[:n].copy()
+        m.reset_opacity()
+        np.testing.assert_allclose(np.asarray(m.opt_state.mu.opacity), 0.0)
+        np.testing.assert_allclose(np.asarray(m.opt_state.nu.opacity), 0.0)
+        np.testing.assert_allclose(np.asarray(m.opt_state.mu.xyz)[:n], mu_xyz)
+
+    def test_hair_merge_carries_segment_rows(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        self._stamp_moments(m)
+        mu_w_before = np.asarray(m.opt_state.mu.width)[: m.num_segments].copy()
+        merged = hair_merging(m)
+        assert merged > 0
+        ns = m.num_segments
+        mu_w = np.asarray(m.opt_state.mu.width)[:ns]
+        # the merge cats re-linked copies of the touched segments (zero
+        # moments) and prunes the originals; untouched segments keep theirs.
+        # two_strands merges tips of segment rows 1 and 2 -> rows 0,3 stay.
+        np.testing.assert_allclose(mu_w[0], mu_w_before[0])
+        np.testing.assert_allclose(mu_w[1], mu_w_before[3])
+        np.testing.assert_allclose(mu_w[2:], 0.0)
+
+    def test_hair_reset_opacity_plane(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        self._stamp_moments(m)
+        mu_e = np.asarray(m.opt_state.mu.endpoints)[: m.num_endpoints].copy()
+        from hairgs_tpu.topo.graph_ops import hair_reset_opacity
+
+        hair_reset_opacity(m)
+        np.testing.assert_allclose(np.asarray(m.opt_state.mu.opacity), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(m.opt_state.mu.endpoints)[: m.num_endpoints], mu_e)

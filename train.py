@@ -459,24 +459,31 @@ def training(mp, op, gp, rt, args):
             info.loss_dict = None
             info.train_psnr = None
 
-        # --- topology cadence (train.py:171-200)
+        # --- topology cadence (train.py:171-200). Host mirrors are chained
+        # between densify and merge in the same event: device->host pulls
+        # run at ~1 MB/s through the remote runtime, so every avoided pull
+        # is seconds per event.
         topo_changed = False
+        arrays_cache = None
         if iteration < op.densify_until_iter:
             if iteration > op.densify_from_iter and crossed(op.densification_interval):
                 size_th = op.prune_max_radii_2d if iteration > op.opacity_reset_interval else None
                 if is_hair:
-                    hair_densification(model, scene.cameras_extent, size_th, info)
+                    _, arrays_cache = hair_densification(
+                        model, scene.cameras_extent, size_th, info,
+                        return_arrays=True)
                 else:
                     model.densification(scene.cameras_extent, size_th, info)
                 topo_changed = True
             if crossed(op.opacity_reset_interval):
                 if is_hair:
                     hair_reset_opacity(model)
+                    arrays_cache = None  # opacity plane changed on device
                 else:
                     model.reset_opacity()
         if is_hair:
             if crossed(op.merge_interval):
-                hair_merging(model, info)
+                hair_merging(model, info, arrays=arrays_cache)
                 topo_changed = True
             if crossed(op.growth_interval):
                 hair_growing(model, info)
