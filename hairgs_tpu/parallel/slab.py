@@ -25,8 +25,6 @@ Differentiable end-to-end: the slab permutation is an integer gather, the
 per-slab render carries its own custom VJP, and the fold is plain jnp.
 """
 
-import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
