@@ -24,6 +24,9 @@ def main():
 
     parser.add_argument("--bidirectional", action=BooleanOptionalAction, default=True)
     parser.add_argument("--sh_degree", type=int, default=0)
+    parser.add_argument("--model_path", "-m", default=None,
+                        help="with a model dir, additionally report "
+                             "PSNR/SSIM image metrics over the training views")
     args = parser.parse_args(sys.argv[1:])
 
     import os
@@ -41,6 +44,21 @@ def main():
         pred=pred, gt=gt, bidirectional=args.bidirectional, return_table=True
     )
     print(table)
+
+    if args.model_path:
+        import types
+
+        from hairgs_tpu.evaluation.image_metrics import evaluate_image_metrics
+        from hairgs_tpu.scene import Scene
+
+        scene_args = types.SimpleNamespace(
+            source_path=args.source_path, model_path=args.model_path,
+            images="images", resolution=-1, sh_degree=args.sh_degree,
+            data_device="auto", eval=False)
+        scene = Scene(scene_args, shuffle=False)
+        im = evaluate_image_metrics(scene.gaussians, scene.get_cameras())
+        print("image metrics (train views): "
+              + "  ".join(f"{k} {v:.3f}" for k, v in im.items()))
     return metrics
 
 

@@ -12,5 +12,5 @@ python train.py -s "$DATA" -m "$OUT" $COMMON
 
 echo "=== Evaluation ==="
 LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
-python eval.py -s "$DATA" -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs
+python eval.py -s "$DATA" -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
 echo "=== DONE ==="
