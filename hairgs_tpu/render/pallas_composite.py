@@ -407,9 +407,10 @@ def _pad_tiles(starts, counts, nt, tiles_per_step):
     return starts, counts, nt_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
-                    tile_size, chunk, max_chunks, num_channels, interpret):
+                    tile_size, chunk, max_chunks, num_channels, interpret,
+                    tiles_per_step=TILES_PER_STEP):
     """Tile compositing over the chunk-aligned paged pair table.
 
     geo_rows: (8, P_paged) f32 (pack_geo_rows layout, aux slots last);
@@ -424,17 +425,19 @@ def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
     """
     out, trans, _ = _forward_pallas(geo_rows, feat_rows, starts, counts,
                                     grid_w, grid_h, tile_size, chunk,
-                                    max_chunks, num_channels, interpret)
+                                    max_chunks, num_channels, interpret,
+                                    tiles_per_step)
     return out, out, trans
 
 
 def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
-                    tile_size, chunk, max_chunks, num_channels, interpret):
+                    tile_size, chunk, max_chunks, num_channels, interpret,
+                    tiles_per_step=TILES_PER_STEP):
     nt = grid_w * grid_h
     pix = tile_size * tile_size
     c_pad = feat_rows.shape[0]
     feat_dtype = feat_rows.dtype
-    tps = TILES_PER_STEP
+    tps = tiles_per_step
     starts, counts, nt_pad = _pad_tiles(starts, counts, nt, tps)
     assert max_chunks % 8 == 0 or interpret, (
         "pallas path requires max_pairs_per_tile/chunk to be a multiple of 8"
@@ -490,17 +493,18 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
 
 
 def _composite_fwd(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
-                   tile_size, chunk, max_chunks, num_channels, interpret):
+                   tile_size, chunk, max_chunks, num_channels, interpret,
+                   tiles_per_step=TILES_PER_STEP):
     out, trans, (tstarts, trans_full) = _forward_pallas(
         geo_rows, feat_rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-        max_chunks, num_channels, interpret,
+        max_chunks, num_channels, interpret, tiles_per_step,
     )
     return (out, out, trans), (geo_rows, feat_rows, starts, counts, tstarts,
                                trans_full)
 
 
 def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
-                   interpret, res, cts):
+                   interpret, tiles_per_step, res, cts):
     geo_rows, feat_rows, starts, counts, tstarts, trans_full = res
     g_aux, g_photo, g_trans = cts
     g_out = g_aux + g_photo  # total-loss cotangent
@@ -508,7 +512,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
     pix = tile_size * tile_size
     c_pad = feat_rows.shape[0]
     feat_dtype = feat_rows.dtype
-    tps = TILES_PER_STEP
+    tps = tiles_per_step
 
     # the forward stopped once transmittance saturated; chunks past that
     # point carry zero gradients (grad planes are zero-initialized), so clamp

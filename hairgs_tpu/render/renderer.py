@@ -45,6 +45,8 @@ class RasterConfig:
     # the pair-table traffic in gather + both kernel passes; feature values
     # and their per-pair gradients round to bf16 (accumulation stays f32)
     feat_bf16: bool = False
+    # tiles handled per pallas grid step (amortizes per-step overhead)
+    tiles_per_step: int = 32
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -152,7 +154,7 @@ def render(
         tiles, tiles_photo, trans_tiles = composite_pairs(
             geo_paged.T, feat_paged.T, binning.starts, binning.counts,
             grid_w, grid_h, ts, config.chunk, max_chunks, num_channels,
-            interpret,
+            interpret, config.tiles_per_step,
         )
         image_photo = assemble_image(tiles_photo, grid_w, grid_h, ts, height, width)
     else:
