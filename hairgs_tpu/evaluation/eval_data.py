@@ -36,17 +36,25 @@ def eval_points_device_from_gaussian(model):
 
 def eval_points_device_from_hair(model):
     """(points, directions, valid) on device for a HairModel: per active
-    segment, start endpoint + normalized direction — the same point/direction
-    SET as compute_eval_data_from_hair (which orders by strand; metrics are
-    order-invariant)."""
-    from hairgs_tpu.core.maths import safe_norm
+    FOREGROUND segment, start endpoint + normalized direction — the same
+    point/direction SET as compute_eval_data_from_hair (whose strand walk
+    starts from the foreground-filtered pairs; metrics are order-invariant).
+    """
+    import jax
 
-    ep = model.params.endpoints
+    from hairgs_tpu.core.maths import safe_norm
+    from hairgs_tpu.models.gaussian import FG_BIN_TH, OPACITY_TH
+
+    p = model.params
+    ep = p.endpoints
     pairs = model.graph.endpoint_pairs
     start = ep[pairs[:, 0]]
     d = ep[pairs[:, 1]] - start
     dirs = d / safe_norm(d, axis=-1, keepdims=True)
-    return start, dirs, model.graph.seg_active
+    fg = (jax.nn.sigmoid(p.opacity[:, 0]) >= OPACITY_TH) & (
+        jax.nn.sigmoid(p.mask[:, 0]) >= FG_BIN_TH
+    )
+    return start, dirs, model.graph.seg_active & fg
 
 
 def compute_eval_data_from_gaussian(model) -> HairEvalData:

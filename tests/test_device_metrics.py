@@ -91,6 +91,26 @@ class TestDeviceEvalExtractors:
                                    atol=1e-6)
 
 
+class TestHairDeviceExtractor:
+    def test_hair_extractor_matches_host_set(self):
+        from hairgs_tpu.evaluation.eval_data import (
+            compute_eval_data_from_hair,
+            eval_points_device_from_hair,
+        )
+        from tests.test_topo import make_hair_model, two_strands
+
+        eps, pairs = two_strands()
+        model = make_hair_model(eps, pairs)
+        host = compute_eval_data_from_hair(model)
+        dpts, ddirs, dvalid = eval_points_device_from_hair(model)
+        v = np.asarray(dvalid)
+        dev_pts = np.asarray(dpts)[v]
+        # same point SET (host orders by strand; sort both lexicographically)
+        host_sorted = host.points[np.lexsort(host.points.T)]
+        dev_sorted = dev_pts[np.lexsort(dev_pts.T)]
+        np.testing.assert_allclose(dev_sorted, host_sorted, atol=1e-6)
+
+
 class TestComputeMetricsDevice:
     def test_threshold_grid_matches_host(self):
         pred = random_cloud(350, 5)
