@@ -200,18 +200,19 @@ class GaussianModel:
         remapped = None
         if moment_maps is not None and self.opt_state is not None:
             src, zero_planes = moment_maps
-            idx = jnp.asarray(np.clip(src, 0, None).astype(np.int32))
-            live = jnp.asarray(src >= 0)
-            pad = cap - src.shape[0]
+            # capacity-shaped map: count-dependent shapes would recompile
+            # the eager gathers every event through the remote helper
+            src_cap = np.full(cap, -1, np.int64)
+            src_cap[: src.shape[0]] = src
+            idx = jnp.asarray(np.clip(src_cap, 0, None).astype(np.int32))
+            live = jnp.asarray(src_cap >= 0)
 
             def take(name, arr):
                 if name in zero_planes:
                     return jnp.zeros((cap,) + arr.shape[1:], arr.dtype)
                 g = arr[idx]
-                g = jnp.where(live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0)
-                return jnp.concatenate(
-                    [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], axis=0
-                ) if pad else g
+                return jnp.where(
+                    live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0)
 
             def remap_tree(tree):
                 return GaussianParams(

@@ -234,8 +234,16 @@ def training(mp, op, gp, rt, args):
     def _device_smooth(pairs, valid):
         return jnp.asarray(pairs), jnp.asarray(valid)
 
+    # pad the smoothness table to the segment-arena capacity: it is a jit
+    # input, so a growing 1024-bucket would recompile the train step at
+    # every topology event during densification (minutes each on the
+    # remote compile helper)
+    def _smooth_cap():
+        return model.graph.endpoint_pairs.shape[0]
+
     smooth_pairs, smooth_valid = (
-        _device_smooth(*smooth_pair_indices(model.strands_info))
+        _device_smooth(*smooth_pair_indices(model.strands_info,
+                                            max_pairs=_smooth_cap()))
         if is_hair else (None, None)
     )
     magnet_idx = (
@@ -246,7 +254,8 @@ def training(mp, op, gp, rt, args):
     def refresh_smooth():
         nonlocal smooth_pairs, smooth_valid, magnet_idx
         smooth_pairs, smooth_valid = _device_smooth(
-            *smooth_pair_indices(model.strands_info))
+            *smooth_pair_indices(model.strands_info,
+                                 max_pairs=_smooth_cap()))
         if op.lambda_magnet > 0:
             magnet_idx = tuple(jnp.asarray(x) for x in magnet_indices(model))
 
