@@ -5,7 +5,7 @@ set -e
 RUN=${1:-_runs/syn150_512}
 DATA="$RUN/data"
 OUT="$RUN/model"
-COMMON="--max_tiles_per_gaussian 24 --capacity_round 131072 --eval_frequency 10000 --save_frequency 1000"
+COMMON="--max_tiles_per_gaussian 16 --max_pairs_per_tile 1024 --capacity_round 131072 --eval_frequency 10000 --save_frequency 1000"
 
 echo "=== Stage III: strand-graph optimization (resume) ==="
 python train.py -s "$DATA" -m "$OUT" $COMMON
