@@ -83,13 +83,15 @@ def main():
     parser.add_argument("--max_tiles", type=int, default=16)
     parser.add_argument("--chunk", type=int, default=128)
     parser.add_argument("--max_pairs", type=int, default=2048)
+    parser.add_argument("--tiles_per_step", type=int, default=32)
     args = parser.parse_args()
 
     model, opt, cam, width, height = build_bench()
     cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
                        max_pairs_per_tile=args.max_pairs,
                        chunk=args.chunk, use_pallas=True,
-                       feat_bf16=args.feat_bf16)
+                       feat_bf16=args.feat_bf16,
+                       tiles_per_step=args.tiles_per_step)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 
