@@ -88,6 +88,8 @@ class RuntimeConfig:
     composite_chunk: int = 128
     capacity_round: int = 4096
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
+    feat_bf16: bool = False  # bf16 feature plane in the pair table (~4% step
+    # speedup; feature values/gradients round to bf16, geometry stays f32)
     device_eval: str = "auto"  # auto: device-side in-training metrics on TPU
     # (final eval always uses the host oracle incl. strand consistency)
     log_interval: int = 10  # scalar-logging/sync cadence (each sync is a

@@ -119,6 +119,7 @@ def training(mp, op, gp, rt, args):
             max_pairs_per_tile=rt.max_pairs_per_tile,
             chunk=rt.composite_chunk,
             use_pallas=bool(use_pallas) and use_pallas != "false",
+            feat_bf16=rt.feat_bf16,
         )
 
     raster_cfg = make_raster_cfg(rt.max_tiles_per_gaussian)
