@@ -83,6 +83,22 @@ class TestVectorizedParity:
         b = pct_matched_points(p1, p2, 3e-3, 30, True, True)
         assert a == b
 
+    @pytest.mark.parametrize("dist_ths,angle_ths", [
+        ([2e-3, 3e-3, 4e-3, 4e-3], [20, 30, 40, 90]),  # default nested grid
+        ([4e-3, 2e-3, 3e-3], [20, 90, 30]),            # non-nested fallback
+    ])
+    def test_multi_threshold_matches_oracle(self, dist_ths, angle_ths):
+        from hairgs_tpu.evaluation.metrics import pct_matched_points_multi
+        p1 = random_cloud(40, 12, seed=9)
+        p2 = random_cloud(35, 12, seed=10)
+        ratios, scs = pct_matched_points_multi(
+            p1, p2, dist_ths, angle_ths, bidirectional=True,
+            compute_strand_consistency=True)
+        for t, (d, a) in enumerate(zip(dist_ths, angle_ths)):
+            want = _oracle_pct_matched(p1, p2, d, a, True, True)
+            assert abs(ratios[t] - want[0]) < 1e-12
+            assert abs(scs[t] - want[1]) < 1e-12
+
     def test_non_contiguous_strand_ids(self):
         p1 = random_cloud(20, 8, seed=5)
         p2 = random_cloud(20, 8, seed=6)
