@@ -96,16 +96,19 @@ def flame_forward(model: FlameModel, shape_params=None, expression_params=None,
     v_shaped = model.v_template + np.einsum("vks,s->vk", model.shapedirs, betas)
     joints = model.j_regressor @ v_shaped  # (J,3)
 
+    # FLAME joint order [global, neck, jaw, eye_L, eye_R]: the reference
+    # concatenates full_pose = [pose[:3], neck, pose[3:], eyes]
+    # (scene/flame.py:259-260)
     full_pose = np.zeros((j, 3))
     if pose_params is not None:
         full_pose[0] = pose_params[:3]  # global
         if len(pose_params) >= 6:
-            full_pose[3] = pose_params[3:6]  # jaw (joint 3 in FLAME)
+            full_pose[2] = pose_params[3:6]  # jaw
     if neck_pose is not None:
         full_pose[1] = neck_pose  # neck
     if eye_pose is not None:
-        full_pose[4] = eye_pose[:3]
-        full_pose[5] = eye_pose[3:6]
+        full_pose[3] = eye_pose[:3]
+        full_pose[4] = eye_pose[3:6]
 
     rots = _rodrigues(full_pose)  # (J,3,3)
     # pose-dependent corrective blendshapes (exclude global joint)

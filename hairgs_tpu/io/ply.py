@@ -42,25 +42,62 @@ _PLY_TO_DTYPE.update(
 )
 
 
+def _with_list_counts(arr: np.ndarray) -> np.ndarray:
+    """Interleave uint8 count fields before fixed-arity subarray fields so the
+    binary layout matches `property list uchar <type>` rows."""
+    if not any(arr.dtype[f].shape for f in arr.dtype.names):
+        return arr
+    fields = []
+    for f in arr.dtype.names:
+        sub = arr.dtype[f]
+        if sub.shape:
+            fields.append((f"__n_{f}", np.uint8))
+            fields.append((f, sub.base, sub.shape))
+        else:
+            fields.append((f, sub))
+    out = np.empty(arr.shape[0], dtype=fields)
+    for f in arr.dtype.names:
+        sub = arr.dtype[f]
+        if sub.shape:
+            out[f"__n_{f}"] = sub.shape[0]
+        out[f] = arr[f]
+    return out
+
+
 def write_ply(path: str, elements: List[Tuple[str, np.ndarray]], text: bool = False):
-    """elements: list of (name, structured numpy array)."""
+    """elements: list of (name, structured numpy array). Subarray fields
+    (e.g. dtype [("vertex_indices", "<i4", (3,))]) are written as fixed-arity
+    PLY list properties (triangle meshes for external viewers)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     header = ["ply"]
     header.append("format ascii 1.0" if text else "format binary_little_endian 1.0")
     for name, arr in elements:
         header.append(f"element {name} {arr.shape[0]}")
         for field in arr.dtype.names:
-            ply_type = _DTYPE_TO_PLY[arr.dtype[field].base]
-            header.append(f"property {ply_type} {field}")
+            sub = arr.dtype[field]
+            ply_type = _DTYPE_TO_PLY[sub.base]
+            if sub.shape:
+                header.append(f"property list uchar {ply_type} {field}")
+            else:
+                header.append(f"property {ply_type} {field}")
     header.append("end_header")
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         for _, arr in elements:
             if text:
                 for row in arr:
-                    f.write((" ".join(str(v) for v in row) + "\n").encode("ascii"))
+                    vals = []
+                    for field in arr.dtype.names:
+                        v = row[field]
+                        if arr.dtype[field].shape:
+                            vals.append(str(len(v)))
+                            vals.extend(str(x) for x in v)
+                        else:
+                            vals.append(str(v))
+                    f.write((" ".join(vals) + "\n").encode("ascii"))
             else:
-                arr2 = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+                arr2 = _with_list_counts(arr)
+                arr2 = arr2.astype(arr2.dtype.newbyteorder("<"), copy=False)
                 f.write(arr2.tobytes())
 
 
