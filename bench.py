@@ -57,16 +57,31 @@ def build_bench(n_gaussians=100_000, width=999, height=1000, seed=0):
     ).astype(np.float32)
     model._install(arrays, n_gaussians, moments=model.host_moments(), step=0)
 
-    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=1.0)
-    img = rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
-    mask = (rng.uniform(0, 1, (height, width)) > 0.5).astype(np.float32)
-    orient = rng.uniform(0, np.pi, (height, width)).astype(np.float32)
-    conf = rng.uniform(0, 1, (height, width)).astype(np.float32)
-    cam = cam._replace(
-        image=jnp.asarray(img), mask=jnp.asarray(mask),
-        orientation=jnp.asarray(orient), confidence=jnp.asarray(conf),
-    )
-    return model, opt, cam, width, height
+    # a ring of viewpoints: the timed loop rotates through them so the
+    # headline number includes tile-occupancy variance across views (a fixed
+    # camera would also let the axon identical-execution cache understate
+    # per-step cost if the inputs ever repeated)
+    cams = []
+    c = np.array([0.0, 0.0, 0.55])  # cloud center
+    for i in range(4):
+        angle = 2 * np.pi * i / 4
+        R = np.array([
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ])
+        # ring camera: cloud center maps to (0,0,0.55) in every view
+        # (world_to_view: x_view = R^T x + t, R is cam-to-world)
+        cam = make_camera(R, c - R.T @ c, fovx=1.2, fovy=1.0)
+        img = rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
+        mask = (rng.uniform(0, 1, (height, width)) > 0.5).astype(np.float32)
+        orient = rng.uniform(0, np.pi, (height, width)).astype(np.float32)
+        conf = rng.uniform(0, 1, (height, width)).astype(np.float32)
+        cams.append(cam._replace(
+            image=jnp.asarray(img), mask=jnp.asarray(mask),
+            orientation=jnp.asarray(orient), confidence=jnp.asarray(conf),
+        ))
+    return model, opt, cams, width, height
 
 
 def main():
@@ -86,7 +101,7 @@ def main():
     parser.add_argument("--tiles_per_step", type=int, default=32)
     args = parser.parse_args()
 
-    model, opt, cam, width, height = build_bench()
+    model, opt, cams, width, height = build_bench()
     cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
                        max_pairs_per_tile=args.max_pairs,
                        chunk=args.chunk, use_pallas=True,
@@ -99,15 +114,19 @@ def main():
     # warmup / compile
     for i in range(3):
         params, stats, opt_state, metrics, _ = step_fn(
-            params, stats, opt_state, model.active, cam, jnp.asarray(i + 1)
+            params, stats, opt_state, model.active, cams[i % len(cams)],
+            jnp.asarray(i + 1)
         )
     jax.block_until_ready(params)
 
+    # timed loop rotates through 4 ring viewpoints (occupancy variance
+    # included; Adam updates additionally vary every input each step)
     n_timed = 20
     t0 = time.perf_counter()
     for i in range(n_timed):
         params, stats, opt_state, metrics, _ = step_fn(
-            params, stats, opt_state, model.active, cam, jnp.asarray(i + 4)
+            params, stats, opt_state, model.active, cams[i % len(cams)],
+            jnp.asarray(i + 4)
         )
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
@@ -116,7 +135,7 @@ def main():
     print(json.dumps({
         "metric": "stage1_train_iters_per_sec",
         "value": round(iters_per_sec, 3),
-        "unit": "iter/s (100k gaussians, 1000x1000, fused rgb+mask+orientation)",
+        "unit": "iter/s (100k gaussians, 1000x1000, fused rgb+mask+orientation, 4 viewpoints)",
         "vs_baseline": round(iters_per_sec / ASSUMED_CUDA_REFERENCE_ITERS_PER_SEC, 3),
     }))
 

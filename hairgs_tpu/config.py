@@ -83,6 +83,9 @@ class RuntimeConfig:
 
     view_batch: int = 1  # cameras per step, sharded over the mesh data axis
     mesh_data_axis: int = 0  # 0 = use all local devices
+    gauss_shard: int = 1  # >1: depth-slab shard the Gaussian axis over this
+    # many devices (scale-out for scenes whose pair tables outgrow one chip;
+    # composes with view_batch via a (data x gauss) 2D mesh)
     max_tiles_per_gaussian: int = 16
     max_pairs_per_tile: int = 2048
     composite_chunk: int = 128

@@ -82,6 +82,9 @@ def _tile_min_power(xy, conic, tx, ty, tile_size):
     return jnp.where(inside, 0.0, q_edges)
 
 
+PROBE_MULT = 4  # rect cells tested per budget slot (see _expand_pairs)
+
+
 def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
                   xy=None, conic=None, q_cut=None, tile_size=16):
     """Enumerate each Gaussian's candidate (tile, slot) pairs.
@@ -90,7 +93,17 @@ def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
     cannot reach alpha >= 1/255 (min-over-box q > q_cut = ln(255·opa)) are
     dropped. Exact: every pixel of a dropped tile fails the compositor's
     ALPHA_MIN gate, so the render and all gradients are unchanged while
-    pair lists and overflow shrink."""
+    pair lists and overflow shrink.
+
+    The per-gaussian budget applies POST-cull: a probe window of
+    PROBE_MULT*r_max rect cells is tested and the first r_max PASSING cells
+    are kept (deterministic top-k on a rank-encoding score). For the thin
+    elongated footprints of hair segments most of the 3σ rect fails the cull,
+    so budgeting pre-cull cells (as the CUDA rect loop would,
+    rasterizer_impl.cu:70-111 duplicates every rect cell) wasted most of the
+    budget on cells that render nothing. overflow_pairs counts only truly
+    lost work: passing cells beyond the budget plus untested cells beyond
+    the probe window."""
     n = rect.shape[0]
     r_max = max_tiles_per_gaussian
     num_tiles = grid_w * grid_h
@@ -98,15 +111,30 @@ def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
     rh = rect[:, 3] - rect[:, 1]
     count = rw * rh
     rw_safe = jnp.maximum(rw, 1)
-    r = jnp.arange(r_max, dtype=jnp.int32)
+    use_cull = xy is not None and conic is not None and q_cut is not None
+    r_probe = r_max * PROBE_MULT if use_cull else r_max
+    r = jnp.arange(r_probe, dtype=jnp.int32)
     tx = rect[:, 0:1] + (r[None, :] % rw_safe[:, None])
     ty = rect[:, 1:2] + (r[None, :] // rw_safe[:, None])
     pair_ok = valid[:, None] & (r[None, :] < count[:, None])
-    if xy is not None and conic is not None and q_cut is not None:
+    if use_cull:
         q_min = _tile_min_power(xy, conic, tx, ty, tile_size)
         pair_ok = pair_ok & (q_min <= q_cut[:, None] + 1e-4)
-    tile = jnp.where(pair_ok, ty * grid_w + tx, num_tiles)
-    overflow_pairs = jnp.sum(jnp.where(valid, jnp.maximum(count - r_max, 0), 0))
+    tile_probe = jnp.where(pair_ok, ty * grid_w + tx, num_tiles)
+    if r_probe > r_max:
+        # first r_max passing cells: score passing cells above failing ones,
+        # each tier in increasing-cell order (distinct scores — top_k tie
+        # handling never enters)
+        score = jnp.where(pair_ok, r_probe - r, -1 - r)
+        _, sel = jax.lax.top_k(score, r_max)
+        tile = jnp.take_along_axis(tile_probe, sel, axis=1)
+        n_passing = jnp.sum(pair_ok, axis=1)
+        lost = jnp.maximum(n_passing - r_max, 0) + jnp.maximum(count - r_probe, 0)
+    else:
+        tile = tile_probe
+        n_passing = jnp.sum(pair_ok, axis=1)
+        lost = jnp.maximum(count - r_max, 0)
+    overflow_pairs = jnp.sum(jnp.where(valid, lost, 0))
     return tile, overflow_pairs
 
 

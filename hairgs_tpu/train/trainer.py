@@ -124,7 +124,7 @@ def _auxiliary_loss(channels, camera, opt_cfg):
 
 
 def render_loss_and_grads(render_inputs_fn, params, camera, active, opt_cfg,
-                          raster_cfg, width, height):
+                          raster_cfg, width, height, render_fn=render):
     """One fused forward; two cotangent pulls through the shared VJP.
 
     The render runs ONCE (vs 3x in the reference); its linear VJP is applied
@@ -132,12 +132,15 @@ def render_loss_and_grads(render_inputs_fn, params, camera, active, opt_cfg,
     photometric-only cotangent for the viewspace densification statistics
     (matching reference semantics where stats come from the rgb render only).
     Returns (loss, param_grads, offset_grad, aux).
+
+    render_fn must match render()'s surface; parallel/slab.py substitutes a
+    depth-slab sharded renderer here for Gaussian-axis scale-out.
     """
     offset0 = jnp.zeros((active.shape[0], 2), dtype=jnp.float32)
 
     def channels_fn(p, offset):
         inputs = render_inputs_fn(p)
-        out = render(
+        out = render_fn(
             camera, **inputs, active=active, mean2d_offset=offset,
             width=width, height=height, config=raster_cfg,
         )

@@ -133,3 +133,112 @@ class TestSlabParity:
         img = f(model.params)
         assert img.shape == (H, W, 7)
         assert bool(jnp.all(jnp.isfinite(img)))
+
+
+class TestSlabTrainStep:
+    """The full train step with --gauss_shard semantics: (data x gauss) 2D
+    mesh, view-DP over data, depth slabs over gauss — must produce the same
+    update as the unsharded batched trainer step."""
+
+    def _gaussian_setup(self, n_views):
+        import dataclasses
+
+        from hairgs_tpu.config import OptimizationConfig
+
+        rng = np.random.default_rng(3)
+        n = 64
+        pts = np.zeros((n, 3), dtype=np.float32)
+        pts[:, 0] = rng.uniform(-0.6, 0.6, n)
+        pts[:, 1] = rng.uniform(-0.6, 0.6, n)
+        pts[:, 2] = rng.uniform(2.5, 4.0, n)
+        colors = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+        gt = GaussianModel(sh_degree=0, capacity_round=n)
+        gt.create_from_pcd(pts, colors)
+        cams = []
+        for i in range(n_views):
+            angle = 0.15 * i
+            R = np.array([
+                [np.cos(angle), 0, np.sin(angle)],
+                [0, 1, 0],
+                [-np.sin(angle), 0, np.cos(angle)],
+            ])
+            cam = make_camera(R, np.array([0, 0, 0.1 * i]), fovx=1.2, fovy=1.0)
+            inputs = gaussian_render_inputs(gt.params, cam.cam_center, 0)
+            img = render(cam, **inputs, active=gt.active, width=W, height=H,
+                         config=CFG)["render"][..., :3]
+            cams.append(cam._replace(image=img))
+        model = GaussianModel(sh_degree=0, capacity_round=n)
+        model.create_from_pcd(
+            pts + rng.normal(0, 0.02, pts.shape).astype(np.float32), colors)
+        opt = dataclasses.replace(OptimizationConfig(), lambda_mask=0.0,
+                                  lambda_orientation=0.0)
+        model.training_setup(opt)
+        return model, cams, opt
+
+    def test_gaussian_step_matches_unsharded(self):
+        from hairgs_tpu.core.camera import stack_cameras
+        from hairgs_tpu.parallel.slab import make_2d_mesh, make_slab_train_step
+        from hairgs_tpu.train import make_gaussian_train_step
+
+        model, cams, opt = self._gaussian_setup(2)
+        batch = stack_cameras(cams)
+        base = make_gaussian_train_step(opt, CFG, width=W, height=H,
+                                        active_sh_degree=0)
+        copy = lambda t: jax.tree.map(jnp.array, t)  # base donates arenas
+        p1, s1, o1, m1, img1 = base(
+            copy(model.params), copy(model.stats), copy(model.opt_state),
+            model.active, batch, jnp.asarray(1))
+
+        mesh = make_2d_mesh(2, 4)
+        slab = make_slab_train_step(
+            "gaussian", opt, CFG, width=W, height=H, active_sh_degree=0,
+            mesh=mesh)
+        p2, s2, o2, m2, img2 = slab(
+            model.params, model.stats, model.opt_state, model.active, batch,
+            jnp.asarray(1))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-3)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+        assert img2.shape == (H, W, 3)
+
+    def test_hair_step_matches_unsharded(self):
+        import __graft_entry__ as ge
+        from hairgs_tpu.core.camera import stack_cameras
+        from hairgs_tpu.parallel.slab import make_2d_mesh, make_slab_train_step
+        from hairgs_tpu.train import make_hair_train_step
+
+        model, opt, camera_at, (sp, sv), (w, h) = ge._tiny_hair_setup()
+        cams = [camera_at(0.8 * i) for i in range(2)]
+        batch = stack_cameras(cams)
+        cfg = RasterConfig(max_tiles_per_gaussian=8, max_pairs_per_tile=128,
+                           chunk=16)
+        base = make_hair_train_step(
+            opt, cfg, width=w, height=h, active_sh_degree=0,
+            spatial_lr_scale=model.spatial_lr_scale,
+            dist_to_scale_factor=model.dist_to_scale_factor)
+        copy = lambda t: jax.tree.map(jnp.array, t)
+        p1, s1, o1, m1, _ = base(
+            copy(model.params), model.graph, copy(model.stats),
+            copy(model.opt_state), batch, jnp.asarray(1), sp, sv)
+
+        mesh = make_2d_mesh(2, 4)
+        slab = make_slab_train_step(
+            "hair", opt, cfg, width=w, height=h, active_sh_degree=0,
+            spatial_lr_scale=model.spatial_lr_scale,
+            dist_to_scale_factor=model.dist_to_scale_factor, mesh=mesh)
+        p2, s2, o2, m2, _ = slab(
+            model.params, model.graph, model.stats, model.opt_state, batch,
+            jnp.asarray(1), sp, sv)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-3)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)

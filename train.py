@@ -199,16 +199,38 @@ def training(mp, op, gp, rt, args):
     # normalization makes mean-vs-single-view magnitude-neutral, and the
     # densification stats are accumulated per view, not from the mean).
     view_batch = max(1, rt.view_batch)
+    gauss_shard = max(1, rt.gauss_shard)
     from hairgs_tpu.parallel.mesh import (
         make_sharded_gaussian_step,
         make_sharded_hair_step,
         make_view_mesh,
     )
 
-    mesh = make_view_mesh(view_batch, rt.mesh_data_axis)
-    if view_batch > 1:
-        print(f"[parallel] view_batch={view_batch} over "
-              f"{mesh.devices.size if mesh is not None else 1} device(s)")
+    if gauss_shard > 1:
+        # depth-slab Gaussian-axis sharding (SURVEY §2.3 spatial sharding),
+        # composable with view-DP via a (data x gauss) 2D mesh
+        from hairgs_tpu.parallel.slab import make_2d_mesh
+
+        n_dev = len(jax.devices())
+        assert n_dev >= gauss_shard, (
+            f"--gauss_shard {gauss_shard} needs that many devices, "
+            f"have {n_dev}")
+        data_size = max(1, min(n_dev // gauss_shard, view_batch))
+        while view_batch % data_size:
+            data_size -= 1
+        mesh = make_2d_mesh(data_size, gauss_shard)
+        capacity = (model.graph.endpoint_pairs.shape[0] if is_hair
+                    else model.capacity)
+        assert capacity % gauss_shard == 0, (
+            f"arena capacity {capacity} must be a multiple of "
+            f"--gauss_shard {gauss_shard} (use a capacity_round that is)")
+        print(f"[parallel] gauss_shard={gauss_shard} x data={data_size} "
+              f"({mesh.devices.size} device(s))")
+    else:
+        mesh = make_view_mesh(view_batch, rt.mesh_data_axis)
+        if view_batch > 1:
+            print(f"[parallel] view_batch={view_batch} over "
+                  f"{mesh.devices.size if mesh is not None else 1} device(s)")
 
     def build_step():
         common = dict(
@@ -216,6 +238,15 @@ def training(mp, op, gp, rt, args):
             active_sh_degree=model.active_sh_degree,
             spatial_lr_scale=model.spatial_lr_scale,
         )
+        if gauss_shard > 1:
+            from hairgs_tpu.parallel.slab import make_slab_train_step
+
+            return make_slab_train_step(
+                "hair" if is_hair else "gaussian", op, raster_cfg,
+                dist_to_scale_factor=(model.dist_to_scale_factor
+                                      if is_hair else None),
+                mesh=mesh, **common,
+            )
         if is_hair:
             fn = make_hair_train_step(
                 op, raster_cfg, dist_to_scale_factor=model.dist_to_scale_factor,
@@ -390,7 +421,9 @@ def training(mp, op, gp, rt, args):
                 viewpoint_stack.pop(pyrandom.randint(0, len(viewpoint_stack) - 1))
             )
         cam = cams_step[0]
-        if view_batch > 1:
+        if view_batch > 1 or gauss_shard > 1:
+            # the slab step is a shard_map over the 2D mesh and always takes
+            # a batched camera (leading axis split over the data axis)
             from hairgs_tpu.core.camera import stack_cameras
 
             cam_input = stack_cameras(cams_step)
