@@ -251,15 +251,29 @@ class GaussianModel:
     # -- host-side views -------------------------------------------------
 
     def host_arrays(self) -> dict:
+        # slice on device, one batched pull (pad rows never cross the ~1 MB/s
+        # device->host link; see core/hostsync.py)
+        from hairgs_tpu.core.hostsync import sliced_pull
+
         c = self.count
-        return {k: np.array(np.asarray(v)[:c]) for k, v in self.params._asdict().items()}
+        return sliced_pull(
+            {k: (v, c) for k, v in self.params._asdict().items()})
 
     def host_moments(self) -> dict:
+        from hairgs_tpu.core.hostsync import sliced_pull
+
         c = self.count
-        return {
-            "mu": {k: np.array(np.asarray(v)[:c]) for k, v in self.opt_state.mu._asdict().items()},
-            "nu": {k: np.array(np.asarray(v)[:c]) for k, v in self.opt_state.nu._asdict().items()},
-        }
+        pulled = sliced_pull({
+            **{f"mu/{k}": (v, c)
+               for k, v in self.opt_state.mu._asdict().items()},
+            **{f"nu/{k}": (v, c)
+               for k, v in self.opt_state.nu._asdict().items()},
+        })
+        out = {"mu": {}, "nu": {}}
+        for key, v in pulled.items():
+            g, k = key.split("/", 1)
+            out[g][k] = v
+        return out
 
     # convenience numpy activations (host-side topology code)
     def np_scaling(self, arrays):

@@ -258,16 +258,29 @@ class HairModel:
         )
         if keys is None:
             keys = sources.keys()
-        return {k: np.array(np.asarray(sources[k][0])[: sources[k][1]])
-                for k in keys}
+        # slice ON DEVICE before pulling (granule-bucketed; one batched
+        # transfer): the arenas are capacity-padded and the device->host
+        # link is the ~1 MB/s bottleneck of every topology event
+        from hairgs_tpu.core.hostsync import sliced_pull
+
+        return sliced_pull({k: sources[k] for k in keys})
 
     def host_moments(self):
-        e, s = self.num_endpoints, self.num_segments
-        def view(tree):
-            d = tree._asdict()
-            return {k: np.array(np.asarray(v)[: (e if k == "endpoints" else s)]) for k, v in d.items()}
+        from hairgs_tpu.core.hostsync import sliced_pull
 
-        return {"mu": view(self.opt_state.mu), "nu": view(self.opt_state.nu)}
+        e, s = self.num_endpoints, self.num_segments
+
+        def sources(tree, prefix):
+            return {f"{prefix}/{k}": (v, e if k == "endpoints" else s)
+                    for k, v in tree._asdict().items()}
+
+        pulled = sliced_pull({**sources(self.opt_state.mu, "mu"),
+                              **sources(self.opt_state.nu, "nu")})
+        out = {"mu": {}, "nu": {}}
+        for key, v in pulled.items():
+            g, k = key.split("/", 1)
+            out[g][k] = v
+        return out
 
     def np_opacity(self, arrays):
         return 1.0 / (1.0 + np.exp(-arrays["opacity"]))

@@ -38,6 +38,8 @@ class HairHostState:
     """
 
     def __init__(self, model, arrays=None):
+        from hairgs_tpu.core.hostsync import sliced_pull
+
         self.model = model
         if arrays is None:
             arrays = model.host_arrays()
@@ -47,11 +49,12 @@ class HairHostState:
         self.ep_src = np.arange(self.endpoints.shape[0], dtype=np.int64)
         self.seg_src = np.arange(self.pairs.shape[0], dtype=np.int64)
         self.zero_moment_planes = set()
-        self.stats = {
-            "max_radii2d": np.array(np.asarray(model.stats.max_radii2d)[: model.num_segments]),
-            "xyz_grad_accum": np.array(np.asarray(model.stats.xyz_grad_accum)[: model.num_segments]),
-            "denom": np.array(np.asarray(model.stats.denom)[: model.num_segments]),
-        }
+        ns = model.num_segments
+        self.stats = sliced_pull({
+            "max_radii2d": (model.stats.max_radii2d, ns),
+            "xyz_grad_accum": (model.stats.xyz_grad_accum, ns),
+            "denom": (model.stats.denom, ns),
+        })
         self.strand_root_idx = (
             np.array(model.strand_root_endpoint_idx)
             if model.strand_root_endpoint_idx is not None
@@ -348,10 +351,19 @@ def hair_densification(model, extent, max_screen_size, training_info=None,
     (hair_gaussian_model.py:788-817), then refresh strands info.
 
     With return_arrays=True also returns the post-install host mirror so a
-    merge in the same topology event skips its device->host pull."""
+    merge in the same topology event skips its device->host pull.
+
+    Phase wall times land in densification_info as t_pull/t_strategies/
+    t_install/t_walk (seconds) — the event-cost breakdown the perf ledger
+    tracks (device->host pull and eager install ops dominate at 500k+
+    segments; see CLAUDE.md)."""
+    import time
+
     from hairgs_tpu.topo.strands import compute_strands_info
 
+    t0 = time.perf_counter()
     st = HairHostState(model)
+    t_pull = time.perf_counter()
     with np.errstate(invalid="ignore", divide="ignore"):
         grads = st.stats["xyz_grad_accum"] / st.stats["denom"]
     grads = np.nan_to_num(grads, nan=0.0, posinf=0.0)
@@ -361,9 +373,18 @@ def hair_densification(model, extent, max_screen_size, training_info=None,
     _merge_collapsed_segments_v2(st, info)
     _prune_strategy(st, extent, max_screen_size, model.training_args, info,
                     avoid_connected=True)
+    t_strat = time.perf_counter()
     st.install()
+    t_install = time.perf_counter()
     arrays = st.as_arrays()
     compute_strands_info(model, arrays=arrays)
+    t_walk = time.perf_counter()
+    info.update(
+        t_pull=round(t_pull - t0, 3),
+        t_strategies=round(t_strat - t_pull, 3),
+        t_install=round(t_install - t_strat, 3),
+        t_walk=round(t_walk - t_install, 3),
+    )
     if training_info is not None:
         training_info.densification_info.update(info)
     return (info, arrays) if return_arrays else info
@@ -374,20 +395,32 @@ def hair_merging(model, training_info=None, arrays=None):
 
     `arrays`: post-install host mirror from a densification in the same
     topology event (model.strands_info is then already fresh)."""
+    import time
+
     from hairgs_tpu.topo.merge import compute_endpoint_pair_to_merge
     from hairgs_tpu.topo.strands import compute_strands_info
 
+    t0 = time.perf_counter()
     if arrays is None:
         st = HairHostState(model)
         compute_strands_info(model, arrays=st.as_arrays())
     else:
         st = HairHostState(model, arrays=arrays)
+    t_prep = time.perf_counter()
     pairs = compute_endpoint_pair_to_merge(model, st=st)
+    t_cand = time.perf_counter()
     if training_info is not None:
         training_info.densification_info["merge"] = int(pairs.shape[0])
     st.merge_endpoint_pairs(pairs)
     st.install()
     compute_strands_info(model, arrays=st.as_arrays())
+    t_end = time.perf_counter()
+    if training_info is not None:
+        training_info.densification_info.update(
+            t_merge_prep=round(t_prep - t0, 3),
+            t_merge_candidates=round(t_cand - t_prep, 3),
+            t_merge_apply=round(t_end - t_cand, 3),
+        )
     return pairs.shape[0]
 
 
