@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Per-phase timing + roofline accounting for the bench train step.
+
+Times each phase of the Stage-I step (preprocess+binning / forward composite /
+backward / losses+Adam) as separately-jitted programs on the bench scene, and
+compares measured time against v5e-1 hardware ceilings (flop + HBM-byte
+counts derived from the actual pair statistics) to classify each phase as
+MXU-, HBM-, or overhead-bound. Run SOLO on the chip (shared-chip numbers are
+unusable). Writes a markdown table to stdout.
+
+Methodology notes:
+- every probe varies its inputs per call (the axon platform caches identical
+  executions);
+- phases are measured as deltas of nested programs (prep; prep+fwd;
+  prep+fwd+bwd; full step) because intermediate pair tables are too large to
+  round-trip; each program is compiled once and timed over `--iters` calls.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# v5e single-chip ceilings (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM)
+PEAK_BF16_TFLOPS = 197.0
+PEAK_F32_TFLOPS = 49.0  # MXU f32 ~= bf16/4
+HBM_GBPS = 819.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_bench
+    from hairgs_tpu.render.renderer import RasterConfig, render
+    from hairgs_tpu.models.gaussian import gaussian_render_inputs
+    from hairgs_tpu.render.preprocess import preprocess
+    from hairgs_tpu.render.binning import bin_gaussians_sorted, paged_capacity
+    from hairgs_tpu.train.trainer import make_gaussian_train_step
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--max_tiles", type=int, default=16)
+    p.add_argument("--max_pairs", type=int, default=2048)
+    p.add_argument("--chunk", type=int, default=128)
+    p.add_argument("--feat_bf16", action="store_true")
+    args = p.parse_args()
+
+    model, opt, cams, width, height = build_bench()
+    cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
+                       max_pairs_per_tile=args.max_pairs, chunk=args.chunk,
+                       use_pallas=True, feat_bf16=args.feat_bf16)
+    ts = cfg.tile_size
+    gw, gh = (width + ts - 1) // ts, (height + ts - 1) // ts
+
+    def prep_and_bin(params, cam, jitter):
+        inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+        m3 = inputs["means3d"] + jitter  # vary inputs per call
+        prep = preprocess(m3, inputs["scales"], inputs["rotations"], cam,
+                          width, height, ts, active=model.active,
+                          opacity=inputs["opacity"])
+        opa_eff = jnp.where(prep.valid, inputs["opacity"], 0.0)
+        q_cut = jnp.log(jnp.maximum(opa_eff, 1e-12) * 255.0)
+        b = bin_gaussians_sorted(
+            prep.rect, prep.depth, prep.valid, gw, gh,
+            cfg.max_tiles_per_gaussian, cfg.max_pairs_per_tile, cfg.chunk,
+            xy=prep.xy, conic=prep.conic, q_cut=q_cut)
+        return (jnp.sum(b.counts), b.overflow_pairs, b.overflow_tiles)
+
+    def fwd(params, cam, jitter):
+        inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+        inputs["means3d"] = inputs["means3d"] + jitter
+        out = render(cam, **inputs, active=model.active,
+                     width=width, height=height, config=cfg)
+        return jnp.sum(out["render"]), jnp.sum(out["tile_counts"])
+
+    def fwd_bwd(params, cam, jitter):
+        def loss_fn(p):
+            inputs = gaussian_render_inputs(p, cam.cam_center, 0)
+            inputs["means3d"] = inputs["means3d"] + jitter
+            out = render(cam, **inputs, active=model.active,
+                         width=width, height=height, config=cfg)
+            return jnp.sum(out["render"] ** 2)
+        l, g = jax.value_and_grad(loss_fn)(params)
+        return l, jax.tree.map(jnp.sum, g)
+
+    step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
+                                       active_sh_degree=0)
+
+    def timeit(fn, n, *argsets):
+        fn(*argsets[0])  # compile
+        jax.block_until_ready(fn(*argsets[1 % len(argsets)]))
+        t0 = time.perf_counter()
+        for i in range(n):
+            r = fn(*argsets[i % len(argsets)])
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    jits = [jnp.asarray(np.random.default_rng(i).normal(0, 1e-6, (1, 3))
+                        .astype(np.float32)) for i in range(7)]
+    cam = cams[0]
+    jp = jax.jit(prep_and_bin)
+    jf = jax.jit(fwd)
+    jb = jax.jit(fwd_bwd)
+
+    t_prep = timeit(jp, args.iters, *[(model.params, cam, j) for j in jits])
+    pairs, opf, otl = jax.device_get(jp(model.params, cam, jits[0]))
+    t_fwd = timeit(jf, args.iters, *[(model.params, cam, j) for j in jits])
+    t_bwd = timeit(jb, args.iters, *[(model.params, cam, j) for j in jits])
+
+    # full step: varies via Adam updates; copy state since it donates
+    def run_step(i):
+        nonlocal params, stats, opt_state
+        params, stats, opt_state, metrics, _ = step_fn(
+            params, stats, opt_state, model.active, cams[i % 4],
+            jnp.asarray(i + 1))
+        return params
+    params, stats, opt_state = model.params, model.stats, model.opt_state
+    run_step(0)
+    jax.block_until_ready(run_step(1))
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        r = run_step(i + 2)
+    jax.block_until_ready(r)
+    t_step = (time.perf_counter() - t0) / args.iters * 1000.0
+
+    # ---- roofline accounting from actual pair stats
+    n = model.capacity
+    total_pairs = int(pairs)
+    p_pad = paged_capacity(n, cfg.max_tiles_per_gaussian, gw * gh, cfg.chunk)
+    geo_b = 8 * 4
+    feat_b = 8 * (2 if cfg.feat_bf16 else 4)
+    # forward: gather pair rows (read packed + write paged + read in kernel)
+    fwd_bytes = p_pad * (geo_b + feat_b) * 3 + gw * gh * ts * ts * 8 * 4
+    # per pair-pixel compositor flops (exp + per-channel fma, 7ch + alpha)
+    fwd_flops = total_pairs * ts * ts * 40
+    # backward reads the tables twice (fwd recompute + grads) + writes grads
+    bwd_bytes = p_pad * (geo_b + feat_b) * 5
+    bwd_flops = total_pairs * ts * ts * 90
+
+    def bound(ms, fl, by):
+        t_mxu = fl / (PEAK_F32_TFLOPS * 1e12) * 1e3
+        t_hbm = by / (HBM_GBPS * 1e9) * 1e3
+        lim = max(t_mxu, t_hbm)
+        return {
+            "flop_ms": round(t_mxu, 3), "hbm_ms": round(t_hbm, 3),
+            "utilization_vs_best_bound": round(lim / ms, 3) if ms else None,
+        }
+
+    out = {
+        "config": {"max_tiles": cfg.max_tiles_per_gaussian,
+                   "max_pairs": cfg.max_pairs_per_tile,
+                   "chunk": cfg.chunk, "feat_bf16": cfg.feat_bf16},
+        "pairs": total_pairs, "pad_slots": p_pad,
+        "overflow": [int(opf), int(otl)],
+        "ms": {"prep+bin": round(t_prep, 2),
+               "fwd_total": round(t_fwd, 2),
+               "fwd_composite": round(t_fwd - t_prep, 2),
+               "fwd+bwd": round(t_bwd, 2),
+               "bwd": round(t_bwd - t_fwd, 2),
+               "full_step": round(t_step, 2),
+               "losses+adam+stats": round(t_step - t_bwd, 2)},
+        "roofline": {
+            "fwd_composite": bound(t_fwd - t_prep, fwd_flops, fwd_bytes),
+            "bwd": bound(t_bwd - t_fwd, bwd_flops, bwd_bytes),
+        },
+        "iters_per_sec": round(1000.0 / t_step, 2),
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
