@@ -87,6 +87,9 @@ class RuntimeConfig:
     # many devices (scale-out for scenes whose pair tables outgrow one chip;
     # composes with view_batch via a (data x gauss) 2D mesh)
     max_tiles_per_gaussian: int = 16
+    freeze_tile_budget: bool = False  # pin max_tiles_per_gaussian (disable
+    # the adaptive grow/shrink controller; each budget change recompiles the
+    # step, minutes on the remote compile helper)
     max_pairs_per_tile: int = 2048
     composite_chunk: int = 128
     capacity_round: int = 4096

@@ -473,7 +473,7 @@ def training(mp, op, gp, rt, args):
             overflow_pairs = int(m["overflow_pairs"])
             # overflow counters are summed over the K views of a step;
             # scale the per-view budget test accordingly
-            new_budget = budget_ctl.update(
+            new_budget = None if rt.freeze_tile_budget else budget_ctl.update(
                 overflow_pairs, n_prims * view_batch,
                 raster_cfg.max_tiles_per_gaussian
             )
