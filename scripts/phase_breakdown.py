@@ -45,9 +45,28 @@ def main():
     p.add_argument("--max_pairs", type=int, default=2048)
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--feat_bf16", action="store_true")
+    p.add_argument("--n_gaussians", type=int, default=100_000)
+    p.add_argument("--width", type=int, default=999)
+    p.add_argument("--height", type=int, default=1000)
+    p.add_argument("--scale_lo", type=float, default=5e-4,
+                   help="min gaussian scale (use ~2e-4 with --aniso for a "
+                        "Stage-III-like thin-segment population)")
+    p.add_argument("--aniso", action="store_true",
+                   help="hair-like anisotropy: x-scale 20-60x the minors")
     args = p.parse_args()
 
-    model, opt, cams, width, height = build_bench()
+    model, opt, cams, width, height = build_bench(
+        n_gaussians=args.n_gaussians, width=args.width, height=args.height)
+    if args.aniso:
+        rng = np.random.default_rng(1)
+        n = args.n_gaussians
+        minor = rng.uniform(args.scale_lo / 4, args.scale_lo, (n, 1))
+        major = minor * rng.uniform(20, 60, (n, 1))
+        arrays = model.host_arrays()
+        arrays["scaling"] = np.log(
+            np.concatenate([major, minor, minor], axis=1)
+        ).astype(np.float32)
+        model._install(arrays, n, moments=model.host_moments(), step=0)
     cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
                        max_pairs_per_tile=args.max_pairs, chunk=args.chunk,
                        use_pallas=True, feat_bf16=args.feat_bf16)
