@@ -15,9 +15,10 @@ OUT="$RUN/model"
 DENSIFY_UNTIL=$((ITERS * 9 / 10))
 # Throughput config so the leg fits the round's wall clock (measured 0.5 it/s
 # at 663k segments with r16/f32/1024): post-cull tile budgets make r_max=8
-# near-lossless for thin segments, max_pairs 512 truncates only pairs deeper
-# than the T<1e-4 early-exit horizon of saturated tiles, bf16 features.
-COMMON="--max_tiles_per_gaussian 8 --freeze_tile_budget --max_pairs_per_tile 512 \
+# near-lossless for thin segments, plus bf16 features — the same config the
+# bench measured at 16.55 it/s vs 11.68 for r16/f32. max_pairs stays 1024
+# (the pallas kernel wants max_pairs/chunk % 8 == 0 at chunk 128).
+COMMON="--max_tiles_per_gaussian 8 --freeze_tile_budget --max_pairs_per_tile 1024 \
  --feat_bf16 --capacity_round 131072 --eval_frequency 10000 --save_frequency 2000"
 
 echo "=== Stage III: strand-graph optimization (final $ITERS-iter leg) ==="

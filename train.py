@@ -114,11 +114,19 @@ def training(mp, op, gp, rt, args):
         use_pallas = jax.default_backend() == "tpu"
 
     def make_raster_cfg(max_tiles):
+        pallas_on = bool(use_pallas) and use_pallas != "false"
+        if pallas_on and jax.default_backend() == "tpu":
+            # fail at startup, not after the 5-10 min scene load + compile:
+            # the pallas table layouts need max_chunks in sublane multiples
+            assert (rt.max_pairs_per_tile // rt.composite_chunk) % 8 == 0, (
+                f"pallas path needs max_pairs_per_tile/composite_chunk to be "
+                f"a multiple of 8 (got {rt.max_pairs_per_tile}/"
+                f"{rt.composite_chunk})")
         return RasterConfig(
             max_tiles_per_gaussian=max_tiles,
             max_pairs_per_tile=rt.max_pairs_per_tile,
             chunk=rt.composite_chunk,
-            use_pallas=bool(use_pallas) and use_pallas != "false",
+            use_pallas=pallas_on,
             feat_bf16=rt.feat_bf16,
         )
 
