@@ -14,6 +14,15 @@ dependency, runs on TPU, and produces the same dataset layout:
       sparse/0/{cameras,images,points3D}.bin     (COLMAP)
       hair_eval_data.npz
       head_reconstruction_data.npz
+
+Known deviation: the reference shades strands with Lambert lighting
+(OpenGLRenderer.py:52-61, use_lighting=True at parse_usc_hairsalon.py:159);
+here strands render with their raw palette colors (flat shading). The
+geometry/mask/orientation surfaces are identical; images are brighter and
+higher-contrast than GL output, which makes the photometric fit STRICTLY
+HARDER (saturated thin lines over black — see the masked-PSNR probe in
+BASELINE.md). Training and eval both use this generator, so the comparison
+is self-consistent.
 """
 
 import math
