@@ -24,9 +24,13 @@ def load_scalars(model_dir):
         for ev in EventFileLoader(f).Load():
             for v in ev.summary.value or []:
                 # torch SummaryWriter stores values as tensor protos;
-                # simple_value reads 0.0 there
+                # simple_value reads 0.0 there. Skip non-scalar tensors
+                # (logged images).
                 if v.HasField("tensor"):
-                    x = float(tensor_util.make_ndarray(v.tensor))
+                    arr = tensor_util.make_ndarray(v.tensor)
+                    if arr.size != 1:
+                        continue
+                    x = float(arr.reshape(()))
                 else:
                     x = v.simple_value
                 vals[v.tag].append((ev.step, x))
