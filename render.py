@@ -1,10 +1,18 @@
 #!/usr/bin/env python
 """Offline render sets from a trained checkpoint.
 
-Parity target: reference render.py:25-152 — render for every camera: rgb,
-foreground-only rgb (cleaned model), mask, inverse-masked rgb, and an
-orientation-map HSV visualization; written under
-model_path/<set_name>/iteration_N/.
+Parity target: reference render.py:25-152 — for each type in
+{0: rgb, 1: rgb_foreground (cleaned model, rendered last), 2: mask_foreground
+(binarized mask splatted as color), 3: mask_other (inverse indicator),
+4: orientation_map (screen-space theta -> HSV)} write BOTH the render and its
+GT counterpart under
+
+    model_path/render/train/iteration_N/{renders,gt}/<type_name>/NNNNN.png
+
+-t selects one type (default -1 = all, order [0,2,3,4,1] — the foreground
+type mutates a copy of the model so it runs last, ref render.py:139-141);
+--skip_train mirrors the reference flag (the scene has train cameras only,
+scene/__init__.py getCameras).
 """
 
 import os
@@ -23,22 +31,45 @@ from hairgs_tpu.config import (
     get_combined_args,
 )
 
+TYPE_MAP = {
+    -1: "all",
+    0: "rgb",
+    1: "rgb_foreground",
+    2: "mask_foreground",
+    3: "mask_other",
+    4: "orientation_map",
+}
+FG_BIN_TH = 0.25  # gaussian_model.py:38
+MIN_VAL = 1e-7
 
-def orientation_to_hsv(theta: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """theta in [0,pi) -> HSV hue wheel rgb (utils/visualization.py:251-269)."""
+
+def orientation_map_to_vis(theta: np.ndarray, confidence: np.ndarray) -> np.ndarray:
+    """theta (H,W) in [0,pi) -> HSV hue-wheel RGB in [0,1]
+    (utils/visualization.py:251-269, incl. the reference's quirk of blacking
+    out pixels whose confidence equals exactly 1.0)."""
     import colorsys
 
-    h, w = theta.shape
-    out = np.zeros((h, w, 3), dtype=np.float32)
-    hue = theta / np.pi
+    hue = (np.asarray(theta) / np.pi) % 1.0
     flat = hue.reshape(-1)
-    rgb = np.stack([np.vectorize(lambda x, c=c: colorsys.hsv_to_rgb(x, 1, 1)[c])(flat)
-                    for c in range(3)], axis=1)
-    out = rgb.reshape(h, w, 3) * mask[..., None]
+    rgb = np.array([colorsys.hsv_to_rgb(h, 1.0, 1.0) for h in flat])
+    out = rgb.reshape(theta.shape + (3,)).astype(np.float32)
+    out[np.asarray(confidence) == 1.0] = 0.0
     return out
 
 
+def screen_theta(o_world: np.ndarray, world_view: np.ndarray) -> np.ndarray:
+    """World orientation channels -> screen-space theta in [0,pi) wrt y-axis
+    clockwise (reference render.py:59-105)."""
+    o_view = o_world @ world_view[:3, :3].T
+    xy = o_view[..., :2]
+    xy = xy / (np.linalg.norm(xy, axis=-1, keepdims=True) + MIN_VAL)
+    y = np.where(xy[..., 1] < MIN_VAL, xy[..., 1] + MIN_VAL, xy[..., 1])
+    theta = np.arctan2(xy[..., 0], y)
+    return np.where(theta < 0, theta + np.pi, theta)
+
+
 def render_sets(args):
+    import jax
     import jax.numpy as jnp
     from PIL import Image as PILImage
 
@@ -52,7 +83,6 @@ def render_sets(args):
     model = scene.gaussians
     is_hair = isinstance(model, HairModel)
     cameras = scene.get_cameras()
-    import jax
 
     use_pallas = rt.use_pallas
     if use_pallas == "auto":
@@ -62,81 +92,99 @@ def render_sets(args):
                        chunk=rt.composite_chunk,
                        use_pallas=bool(use_pallas) and use_pallas != "false")
 
-    out_root = args.model_path
     it = scene.loaded_iter
-    sets = ["rgb", "mask", "rgb_masked", "orientation", "rgb_foreground"]
-    for s in sets:
-        os.makedirs(os.path.join(out_root, s, f"iteration_{it}"), exist_ok=True)
+    types = [args.type] if args.type != -1 else [0, 2, 3, 4, 1]
 
-    # foreground-only render from a CLEANED copy of the model (reference
-    # render.py renders the foreground set after clean_gaussians)
-    import copy
-
-    fg_model = copy.deepcopy(model)
-    if is_hair:
-        from hairgs_tpu.topo.graph_ops import clean_hair_gaussians
-
-        clean_hair_gaussians(fg_model)
-        fg_active = fg_model.graph.seg_active
-    else:
-        fg_model.clean_gaussians()
-        fg_active = fg_model.active
-
-    for idx, cam in enumerate(cameras):
+    def inputs_for(m, cam):
         if is_hair:
-            inputs = hair_render_inputs(
-                model.params, model.graph, cam.cam_center, model.active_sh_degree,
-                model.dist_to_scale_factor,
-            )
-            active = model.graph.seg_active
-        else:
-            inputs = gaussian_render_inputs(model.params, cam.cam_center,
-                                            model.active_sh_degree)
-            active = model.active
-        out = render(cam, **inputs, active=active, width=cam.width,
-                     height=cam.height, config=cfg)
-        img = np.asarray(out["render"])
-        rgb = np.clip(img[..., :3], 0, 1)
-        mask = np.clip(img[..., 3], 0, 1)
-        o_world = img[..., 4:7]
-        wv = np.asarray(cam.world_view)
-        o_view = o_world @ wv[:3, :3].T
-        xy = o_view[..., :2]
-        xy = xy / (np.linalg.norm(xy, axis=-1, keepdims=True) + 1e-7)
-        y = np.where(xy[..., 1] < 1e-7, xy[..., 1] + 1e-7, xy[..., 1])
-        theta = np.arctan2(xy[..., 0], y)
-        theta = np.where(theta < 0, theta + np.pi, theta)
-        binmask = mask > 0.5
+            return (hair_render_inputs(m.params, m.graph, cam.cam_center,
+                                       m.active_sh_degree,
+                                       m.dist_to_scale_factor),
+                    m.graph.seg_active)
+        return (gaussian_render_inputs(m.params, cam.cam_center,
+                                       m.active_sh_degree), m.active)
 
-        def save(name, arr):
-            path = os.path.join(out_root, name, f"iteration_{it}", f"{idx:05d}.png")
-            PILImage.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+    def save(path, arr):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        PILImage.fromarray(
+            (np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
 
-        save("rgb", rgb)
-        save("mask", np.repeat(mask[..., None], 3, axis=2))
-        save("rgb_masked", rgb * binmask[..., None])
-        save("orientation", orientation_to_hsv(theta, binmask.astype(np.float32)))
+    for t in types:
+        type_name = TYPE_MAP[t]
+        base = os.path.join(args.model_path, "render", "train",
+                            f"iteration_{it}")
+        render_path = os.path.join(base, "renders", type_name)
+        gts_path = os.path.join(base, "gt", type_name)
 
-        if is_hair:
-            fg_inputs = hair_render_inputs(
-                fg_model.params, fg_model.graph, cam.cam_center,
-                fg_model.active_sh_degree, fg_model.dist_to_scale_factor,
-            )
-        else:
-            fg_inputs = gaussian_render_inputs(fg_model.params, cam.cam_center,
-                                               fg_model.active_sh_degree)
-        fg_out = render(cam, **fg_inputs, active=fg_active, width=cam.width,
-                        height=cam.height, config=cfg)
-        save("rgb_foreground", np.clip(np.asarray(fg_out["render"][..., :3]), 0, 1))
-        print(f"rendered camera {idx + 1}/{len(cameras)}")
-    print(f"Render sets written under {out_root}")
+        cur = model
+        if t == 1:
+            # foreground type renders a CLEANED copy (reference render.py:54-57
+            # mutates the live model; a copy keeps later types correct)
+            import copy
+
+            cur = copy.deepcopy(model)
+            if is_hair:
+                from hairgs_tpu.topo.graph_ops import clean_hair_gaussians
+
+                clean_hair_gaussians(cur)
+            else:
+                cur.clean_gaussians()
+
+        mask_act = np.asarray(jax.nn.sigmoid(jnp.asarray(cur.params.mask)))[:, 0]
+        fg_indicator = (mask_act >= FG_BIN_TH).astype(np.float32)
+
+        for idx, cam in enumerate(cameras):
+            inputs, active = inputs_for(cur, cam)
+            if t in (2, 3):
+                ind = fg_indicator if t == 2 else 1.0 - fg_indicator
+                # override_color analogue: splat the indicator as the color
+                # channels (reference renders mask types via override_color,
+                # render.py:62-77)
+                inputs = dict(inputs,
+                              features=jnp.repeat(
+                                  jnp.asarray(ind)[:, None], 3, axis=1))
+            out = render(cam, **inputs, active=active, width=cam.width,
+                         height=cam.height, config=cfg)
+            img = np.asarray(out["render"])
+
+            if t in (0, 1):
+                rendering = np.clip(img[..., :3], 0, 1)
+                gt = np.asarray(cam.image)
+            elif t == 2:
+                rendering = np.repeat(np.clip(img[..., :1], 0, 1), 3, axis=2)
+                gt = np.repeat(np.asarray(cam.mask)[..., None], 3, axis=2)
+            elif t == 3:
+                rendering = np.repeat(np.clip(img[..., :1], 0, 1), 3, axis=2)
+                gt = np.repeat(1.0 - np.asarray(cam.mask)[..., None], 3, axis=2)
+            else:  # t == 4
+                o_world = img[..., 4:7]
+                theta = screen_theta(o_world, np.asarray(cam.world_view))
+                conf = (np.asarray(cam.confidence)
+                        if cam.confidence is not None
+                        else np.zeros(theta.shape, np.float32))
+                rendering = orientation_map_to_vis(theta, conf)
+                gt_theta = (np.asarray(cam.orientation)
+                            if cam.orientation is not None
+                            else np.zeros(theta.shape, np.float32))
+                gt = orientation_map_to_vis(gt_theta, conf)
+
+            save(os.path.join(render_path, f"{idx:05d}.png"), rendering)
+            save(os.path.join(gts_path, f"{idx:05d}.png"), gt)
+        print(f"type {t} ({type_name}): {len(cameras)} views rendered")
+    print(f"Render sets written under "
+          f"{os.path.join(args.model_path, 'render')}")
 
 
 if __name__ == "__main__":
-    parser = ArgumentParser(description="Render script parameters")
+    parser = ArgumentParser(description="Testing script parameters")
     add_config_args(parser, ModelConfig)
     add_config_args(parser, OptimizationConfig)
     add_config_args(parser, GeneralConfig)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--type", "-t", type=int, default=-1,
+                        help="Type of rendering")
     add_config_args(parser, RuntimeConfig)
     args = get_combined_args(parser, sys.argv[1:])
-    render_sets(args)
+    if not args.skip_train:
+        render_sets(args)

@@ -132,18 +132,22 @@ class TestFullPipeline:
         assert isinstance(model3, HairModel)
         assert model3.num_segments > 0
 
-        # ---- Offline render sets (render.py driver)
-        from render import render_sets
+        # ---- Offline render sets (render.py driver; reference layout
+        # model_path/render/train/iteration_N/{renders,gt}/<type_name>/)
+        from render import TYPE_MAP, render_sets
 
-        args_r = make_args(dataset, model_path, opt3)
+        args_r = make_args(dataset, model_path, opt3, extra={"type": -1})
         render_sets(args_r)
-        out_png = os.path.join(model_path, "rgb_foreground",
-                               f"iteration_{scene3.loaded_iter + 30}")
-        assert os.path.isdir(os.path.join(model_path, "rgb"))
-        assert any(
-            os.scandir(os.path.join(model_path, "rgb_foreground",
-                                    os.listdir(os.path.join(model_path, "rgb_foreground"))[0]))
-        )
+        base = os.path.join(model_path, "render", "train",
+                            f"iteration_{scene3.loaded_iter + 30}")
+        for type_name in ("rgb", "rgb_foreground", "mask_foreground",
+                          "mask_other", "orientation_map"):
+            for kind in ("renders", "gt"):
+                d = os.path.join(base, kind, type_name)
+                assert os.path.isdir(d) and len(os.listdir(d)) > 0, d
+        assert set(TYPE_MAP.values()) == {
+            "all", "rgb", "rgb_foreground", "mask_foreground", "mask_other",
+            "orientation_map"}
 
         # ---- Eval
         pred = compute_eval_data_from_hair(model3)
