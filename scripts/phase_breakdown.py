@@ -18,9 +18,13 @@ Methodology notes:
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # v5e single-chip ceilings (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM)
 PEAK_BF16_TFLOPS = 197.0
