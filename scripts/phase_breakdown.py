@@ -49,6 +49,7 @@ def main():
     p.add_argument("--max_pairs", type=int, default=2048)
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--feat_bf16", action="store_true")
+    p.add_argument("--tiles_per_step", type=int, default=32)
     p.add_argument("--n_gaussians", type=int, default=100_000)
     p.add_argument("--width", type=int, default=999)
     p.add_argument("--height", type=int, default=1000)
@@ -73,7 +74,8 @@ def main():
         model._install(arrays, n, moments=model.host_moments(), step=0)
     cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
                        max_pairs_per_tile=args.max_pairs, chunk=args.chunk,
-                       use_pallas=True, feat_bf16=args.feat_bf16)
+                       use_pallas=True, feat_bf16=args.feat_bf16,
+                       tiles_per_step=args.tiles_per_step)
     ts = cfg.tile_size
     gw, gh = (width + ts - 1) // ts, (height + ts - 1) // ts
 
