@@ -129,80 +129,67 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
         done[0] = 0
         nchunks = pl.cdiv(count, chunk)
 
-        def geo_dma(j, slot):
+        def geo_dma(j):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return pltpu.make_async_copy(
-                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[slot],
-                sem.at[slot, 0],
+                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[j],
+                sem.at[j, 0],
             )
 
-        def feat_dma(j, slot):
+        def feat_dma(j):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[slot],
-                sem.at[slot, 1],
+                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[j],
+                sem.at[j, 1],
             )
 
-        # double-buffered pipeline; done[1] counts issued DMAs so every one
-        # is awaited even when transmittance saturation stops compute early
-        @pl.when(nchunks > 0)
-        def _():
-            geo_dma(0, 0).start()
-            feat_dma(0, 0).start()
-            done[1] = 1
+        # issue EVERY chunk's DMA up front into its own slot: per-chunk
+        # transfers are only a few KB, so the serialized start->wait->start
+        # chain of a classic double buffer is latency-bound — with all
+        # copies in flight the per-chunk wait finds data already resident
+        def issue(j, _):
+            geo_dma(j).start()
+            feat_dma(j).start()
+            return 0
 
-        @pl.when(nchunks == 0)
-        def _():
-            done[1] = 0
+        jax.lax.fori_loop(0, nchunks, issue, 0)
 
         def body(j, _, nchunks=nchunks, count=count, t_local=t_local):
             # record chunk-start transmittance for the backward pass (always,
             # so post-early-exit chunks see the saturated value and go dead)
-            @pl.when(j < nchunks)
+            tstarts_ref[t_local * max_chunks + j, :] = trans[:, 0]
+            geo_dma(j).wait()
+            feat_dma(j).wait()
+
+            @pl.when(done[0] == 0)
             def _():
-                tstarts_ref[t_local * max_chunks + j, :] = trans[:, 0]
-
-            @pl.when(j < done[1])
-            def _():
-                slot = jax.lax.rem(j, 2)
-                geo_dma(j, slot).wait()
-                feat_dma(j, slot).wait()
-
-                @pl.when((j + 1 < nchunks) & (done[0] == 0))
-                def _():
-                    geo_dma(j + 1, 1 - slot).start()
-                    feat_dma(j + 1, 1 - slot).start()
-                    done[1] = j + 2
-
-                @pl.when(done[0] == 0)
-                def _():
-                    kmask = (j * chunk + k_iota) < count
-                    alpha, _, _, _, _, feat, _ = _chunk_quantities(
-                        geo_buf.at[slot], feat_buf.at[slot], px, py, kmask,
-                        num_channels,
-                    )
-                    l = jnp.log1p(-alpha)
-                    cum = jax.lax.dot_general(
-                        l, upper_incl, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # inclusive prefix over the chunk
-                    t_incl = trans[:] * jnp.exp(cum)
-                    live = t_incl >= T_EPS
-                    # exp(cum - l) == exp(cum)/(1-alpha); alpha <= 0.99 so
-                    # the divide is safe and cheaper than a second exp
-                    t_excl = t_incl / (1.0 - alpha)
-                    w = jnp.where(live, alpha * t_excl, 0.0)
-                    # (C, CH) x (PIX, CH) contracting CH -> (C, PIX): keeps
-                    # the accumulator lane dim = pixels (no 128-lane padding)
-                    accum[:] += jax.lax.dot_general(
-                        feat, w, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    new_trans = trans[:] * jnp.exp(
-                        jnp.sum(jnp.where(live, l, 0.0), axis=1, keepdims=True)
-                    )
-                    trans[:] = new_trans
-                    done[0] = jnp.where(jnp.max(new_trans) < T_EPS, 1, 0)
+                kmask = (j * chunk + k_iota) < count
+                alpha, _, _, _, _, feat, _ = _chunk_quantities(
+                    geo_buf.at[j], feat_buf.at[j], px, py, kmask,
+                    num_channels,
+                )
+                l = jnp.log1p(-alpha)
+                cum = jax.lax.dot_general(
+                    l, upper_incl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # inclusive prefix over the chunk
+                t_incl = trans[:] * jnp.exp(cum)
+                live = t_incl >= T_EPS
+                # exp(cum - l) == exp(cum)/(1-alpha); alpha <= 0.99 so
+                # the divide is safe and cheaper than a second exp
+                t_excl = t_incl / (1.0 - alpha)
+                w = jnp.where(live, alpha * t_excl, 0.0)
+                # (C, CH) x (PIX, CH) contracting CH -> (C, PIX): keeps
+                # the accumulator lane dim = pixels (no 128-lane padding)
+                accum[:] += jax.lax.dot_general(
+                    feat, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                new_trans = trans[:] * jnp.exp(
+                    jnp.sum(jnp.where(live, l, 0.0), axis=1, keepdims=True)
+                )
+                trans[:] = new_trans
+                done[0] = jnp.where(jnp.max(new_trans) < T_EPS, 1, 0)
 
             return 0
 
@@ -241,38 +228,41 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
         g_photo = gphoto_ref[:, pl.ds(t_local * pix, pix)]  # (C, PIX) photo only
         nchunks = pl.cdiv(count, chunk)
 
-        def geo_dma(j, slot):
+        def geo_dma(j):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return pltpu.make_async_copy(
-                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[slot],
-                sem.at[slot, 0],
+                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[j],
+                sem.at[j, 0],
             )
 
-        def feat_dma(j, slot):
+        def feat_dma(j):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[slot],
-                sem.at[slot, 1],
+                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[j],
+                sem.at[j, 1],
             )
 
-        def store_dma(j, slot):
+        def store_dma(j):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return (
                 pltpu.make_async_copy(
-                    dgeo_buf.at[slot], dgeo_hbm.at[:, pl.ds(offset, chunk)],
-                    osem.at[slot, 0],
+                    dgeo_buf.at[j], dgeo_hbm.at[:, pl.ds(offset, chunk)],
+                    osem.at[j, 0],
                 ),
                 pltpu.make_async_copy(
-                    dfeat_buf.at[slot], dfeat_hbm.at[:, pl.ds(offset, chunk)],
-                    osem.at[slot, 1],
+                    dfeat_buf.at[j], dfeat_hbm.at[:, pl.ds(offset, chunk)],
+                    osem.at[j, 1],
                 ),
             )
 
-        # double-buffered input prefetch (reverse order) + buffered stores
-        @pl.when(nchunks > 0)
-        def _():
-            geo_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
-            feat_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
+        # all input DMAs in flight up front (per-chunk slots — see forward);
+        # stores get their own per-chunk slots, drained at tile end
+        def issue(j, _):
+            geo_dma(j).start()
+            feat_dma(j).start()
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, issue, 0)
 
         def body(i, _, nchunks=nchunks, count=count, t_local=t_local,
                  g_out=g_out, g_photo=g_photo):
@@ -280,18 +270,12 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
 
             @pl.when(j >= 0)
             def _():
-                slot = jax.lax.rem(j, 2)
-                geo_dma(j, slot).wait()
-                feat_dma(j, slot).wait()
-
-                @pl.when(j - 1 >= 0)
-                def _():
-                    geo_dma(j - 1, 1 - slot).start()
-                    feat_dma(j - 1, 1 - slot).start()
+                geo_dma(j).wait()
+                feat_dma(j).wait()
 
                 kmask = (j * chunk + k_iota) < count
                 alpha, G, ok, dx, dy, feat, opa = _chunk_quantities(
-                    geo_buf.at[slot], feat_buf.at[slot], px, py, kmask,
+                    geo_buf.at[j], feat_buf.at[j], px, py, kmask,
                     num_channels,
                 )
                 l = jnp.log1p(-alpha)
@@ -322,9 +306,9 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 d_opa = jnp.sum(jnp.where(use, G * dalpha, 0.0), axis=0,
                                 keepdims=True)
                 dpower = jnp.where(use, opa * G * dalpha, 0.0)
-                a = geo_buf[slot, 2:3, :]
-                b = geo_buf[slot, 3:4, :]
-                c = geo_buf[slot, 4:5, :]
+                a = geo_buf[j, 2:3, :]
+                b = geo_buf[j, 3:4, :]
+                c = geo_buf[j, 4:5, :]
                 d_x = jnp.sum(dpower * (-(a * dx + b * dy)), axis=0, keepdims=True)
                 d_y = jnp.sum(dpower * (-(c * dy + b * dx)), axis=0, keepdims=True)
                 d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
@@ -364,18 +348,12 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                         [d_feat, jnp.zeros((pad, chunk), jnp.float32)], axis=0
                     )
 
-                @pl.when(i >= 2)  # reusing this store slot: wait its last store
-                def _():
-                    g_dma, f_dma = store_dma(j + 2, slot)
-                    g_dma.wait()
-                    f_dma.wait()
-
                 # masked tail slots are the tile's own page padding: zero them
-                dgeo_buf[slot] = jnp.where(kmask, grad_geo, 0.0)
-                dfeat_buf[slot] = jnp.where(kmask, d_feat, 0.0).astype(
+                dgeo_buf[j] = jnp.where(kmask, grad_geo, 0.0)
+                dfeat_buf[j] = jnp.where(kmask, d_feat, 0.0).astype(
                     dfeat_buf.dtype
                 )
-                g_dma, f_dma = store_dma(j, slot)
+                g_dma, f_dma = store_dma(j)
                 g_dma.start()
                 f_dma.start()
                 bcarry[:] += jnp.sum(wf, axis=1, keepdims=True)
@@ -384,18 +362,15 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)  # dynamic: see forward
-        # drain this tile's outstanding stores before its buffers are reused
-        @pl.when(nchunks >= 1)
-        def _():
-            g_dma, f_dma = store_dma(0, 0)
-            g_dma.wait()
-            f_dma.wait()
 
-        @pl.when(nchunks >= 2)
-        def _():
-            g_dma, f_dma = store_dma(1, 1)
+        # drain this tile's outstanding stores before its buffers are reused
+        def drain(j, _):
+            g_dma, f_dma = store_dma(j)
             g_dma.wait()
             f_dma.wait()
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, drain, 0)
 
 
 def _pad_tiles(starts, counts, nt, tiles_per_step):
@@ -466,12 +441,13 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, c_pad, chunk), feat_dtype),
+            # one slot per chunk: every DMA is issued up front (see kernel)
+            pltpu.VMEM((max_chunks, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((max_chunks, c_pad, chunk), feat_dtype),
             pltpu.VMEM((num_channels, pix), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((max_chunks, 2)),
         ],
     )
     out, trans, tstarts = pl.pallas_call(
@@ -570,14 +546,15 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, c_pad, chunk), feat_dtype),
-            pltpu.VMEM((2, GEO_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, c_pad, chunk), feat_dtype),
+            # per-chunk slots, all DMAs issued up front (see forward kernel)
+            pltpu.VMEM((max_chunks, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((max_chunks, c_pad, chunk), feat_dtype),
+            pltpu.VMEM((max_chunks, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((max_chunks, c_pad, chunk), feat_dtype),
             pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((max_chunks, 2)),
+            pltpu.SemaphoreType.DMA((max_chunks, 2)),
         ],
     )
     dgeo_init = jnp.zeros_like(geo_rows)
