@@ -1,0 +1,34 @@
+#!/bin/bash
+# End-of-round solo-chip performance suite. Run ONLY when no training run
+# shares the chip (shared-chip probes time-slice with the trainer and all
+# configs measure identical — see docs/ROUND3.md).
+#
+# Produces, under _runs/perf_r3/:
+#   bench_r16_f32.json      default-fidelity headline (BENCH config)
+#   bench_r8_bf16.json      aggressive config
+#   bench_r16_f32_c256.json chunk sweep point
+#   breakdown_bench.json    phase + roofline at bench scale
+#   breakdown_hair.json     phase + roofline at Stage-III scale
+set -e
+OUT=_runs/perf_r3
+mkdir -p "$OUT"
+
+echo "=== bench r16/f32 (default fidelity) ==="
+python bench.py | tee "$OUT/bench_r16_f32.json"
+
+echo "=== bench r8 + bf16 ==="
+python bench.py --max_tiles 8 --feat_bf16 | tee "$OUT/bench_r8_bf16.json"
+
+echo "=== bench r16/f32 chunk=256 ==="
+python bench.py --chunk 256 | tee "$OUT/bench_r16_f32_c256.json"
+
+echo "=== phase breakdown (bench scale, r16/f32) ==="
+python scripts/phase_breakdown.py --iters 10 \
+  | tee "$OUT/breakdown_bench.json"
+
+echo "=== phase breakdown (hair scale, r8/bf16) ==="
+python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
+  --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
+  --aniso --scale_lo 3e-4 | tee "$OUT/breakdown_hair.json"
+
+echo "=== DONE ==="

@@ -83,6 +83,29 @@ class TestDatasetGeneration:
         assert 0 < (mask > 0).mean() < 0.9
 
 
+class TestGaussShardCLI:
+    def test_train_driver_runs_slab_sharded(self, dataset, tmp_path):
+        """--gauss_shard wiring through training(): 2D (data x gauss) mesh,
+        batched cameras, checkpoint written."""
+        from train import training
+
+        model_path = str(tmp_path / "gs_run")
+        opt = small_opt(20)
+        args = make_args(dataset, model_path, opt,
+                         extra={"gauss_shard": 4, "view_batch": 2})
+        mp = ModelConfig(source_path=dataset, model_path=model_path,
+                         sh_degree=0)
+        gp = GeneralConfig(quiet=True, logger="none",
+                           save_frequency=20, eval_frequency=20)
+        rt = RuntimeConfig(capacity_round=256, max_tiles_per_gaussian=8,
+                           max_pairs_per_tile=128, composite_chunk=16,
+                           gauss_shard=4, view_batch=2)
+        scene, model = training(mp, opt, gp, rt, args)
+        assert model.count > 0
+        assert os.path.exists(os.path.join(
+            model_path, "point_cloud", "iteration_20", "point_cloud.ply"))
+
+
 class TestFullPipeline:
     def test_three_stages(self, dataset, tmp_path):
         from train import training
