@@ -101,8 +101,11 @@ def pct_matched_points_multi(
         tiered_keys: List[np.ndarray] = []
         tiered_tiers: List[np.ndarray] = []
 
-    d1 = np.asarray(p1.directions, dtype=np.float32)
-    d2 = np.asarray(p2.directions, dtype=np.float32)
+    # keep the input dtype: a float32 downcast would flip matches whose dot
+    # product sits within ~1e-7 of a cos threshold, breaking the bit-parity
+    # claim vs the reference loop
+    d1 = np.asarray(p1.directions)
+    d2 = np.asarray(p2.directions)
     for owner, nn, dist in _pair_chunks(np.asarray(p1.points), tree2, rmax, chunk):
         if owner.size == 0:
             continue

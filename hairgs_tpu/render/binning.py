@@ -132,7 +132,6 @@ def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
         lost = jnp.maximum(n_passing - r_max, 0) + jnp.maximum(count - r_probe, 0)
     else:
         tile = tile_probe
-        n_passing = jnp.sum(pair_ok, axis=1)
         lost = jnp.maximum(count - r_max, 0)
     overflow_pairs = jnp.sum(jnp.where(valid, lost, 0))
     return tile, overflow_pairs

@@ -143,25 +143,40 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 sem.at[j, 1],
             )
 
-        # issue EVERY chunk's DMA up front into its own slot: per-chunk
-        # transfers are only a few KB, so the serialized start->wait->start
-        # chain of a classic double buffer is latency-bound — with all
-        # copies in flight the per-chunk wait finds data already resident
+        # K-deep prefetch window into per-chunk slots: per-chunk transfers
+        # are only a few KB, so the serialized start->wait->start chain of a
+        # classic 2-slot double buffer was latency-bound; a deeper window
+        # keeps copies in flight while PRESERVING the early-exit gating (a
+        # saturating tile stops issuing, bounding its HBM reads to the
+        # saturation chunk + K instead of the whole page). done[1] counts
+        # issued DMAs so every one is awaited.
+        window = min(4, max_chunks)
+
         def issue(j, _):
             geo_dma(j).start()
             feat_dma(j).start()
             return 0
 
-        jax.lax.fori_loop(0, nchunks, issue, 0)
+        first = jnp.minimum(nchunks, window)
+        jax.lax.fori_loop(0, first, issue, 0)
+        done[1] = first
 
         def body(j, _, nchunks=nchunks, count=count, t_local=t_local):
             # record chunk-start transmittance for the backward pass (always,
             # so post-early-exit chunks see the saturated value and go dead)
             tstarts_ref[t_local * max_chunks + j, :] = trans[:, 0]
-            geo_dma(j).wait()
-            feat_dma(j).wait()
 
-            @pl.when(done[0] == 0)
+            @pl.when(j < done[1])
+            def _():
+                geo_dma(j).wait()
+                feat_dma(j).wait()
+
+            @pl.when((j + window < nchunks) & (done[0] == 0))
+            def _():
+                issue(j + window, 0)
+                done[1] = j + window + 1
+
+            @pl.when((done[0] == 0) & (j < done[1]))
             def _():
                 kmask = (j * chunk + k_iota) < count
                 alpha, _, _, _, _, feat, _ = _chunk_quantities(

@@ -133,11 +133,8 @@ def save_ply_faces(vertex_xyz: np.ndarray, vertex_color: np.ndarray,
                    edges: np.ndarray, file_path: str):
     """Each segment (A,B) as a degenerate triangle (A, mid, B) so mesh
     viewers without polyline support can display strands
-    (utils/general.py:158-197). Requires PLY list properties, so faces are
-    written manually."""
-    import os
-    import struct
-
+    (utils/general.py:158-197); list properties via write_ply's fixed-arity
+    subarray support."""
     num_points = vertex_xyz.shape[0]
     seg = vertex_xyz[edges]
     mid = (seg[:, 0] + seg[:, 1]) / 2
@@ -147,22 +144,14 @@ def save_ply_faces(vertex_xyz: np.ndarray, vertex_color: np.ndarray,
     mid_idx = np.arange(edges.shape[0]) + num_points
     faces = np.column_stack([edges[:, 0], mid_idx, edges[:, 1]]).astype(np.int32)
 
-    os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
-    header = [
-        "ply", "format binary_little_endian 1.0",
-        f"element vertex {verts.shape[0]}",
-        "property float x", "property float y", "property float z",
-        "property uchar red", "property uchar green", "property uchar blue",
-        f"element face {faces.shape[0]}",
-        "property list uchar int vertex_indices",
-        "end_header",
+    cols = [(ax, verts[:, i].astype(np.float32), "f4") for i, ax in enumerate("xyz")]
+    cols += [
+        (ch, colors[:, i].astype(np.uint8), "u1")
+        for i, ch in enumerate(("red", "green", "blue"))
     ]
-    with open(file_path, "wb") as f:
-        f.write(("\n".join(header) + "\n").encode("ascii"))
-        for v, c in zip(verts, colors):
-            f.write(struct.pack("<fffBBB", v[0], v[1], v[2], c[0], c[1], c[2]))
-        for face in faces:
-            f.write(struct.pack("<Biii", 3, face[0], face[1], face[2]))
+    face_arr = np.empty(len(faces), dtype=[("vertex_indices", "<i4", (3,))])
+    face_arr["vertex_indices"] = faces
+    write_ply(file_path, [("vertex", _structured(cols)), ("face", face_arr)])
 
 
 def _import_pv():

@@ -44,15 +44,13 @@ MIN_VAL = 1e-7
 
 
 def orientation_map_to_vis(theta: np.ndarray, confidence: np.ndarray) -> np.ndarray:
-    """theta (H,W) in [0,pi) -> HSV hue-wheel RGB in [0,1]
+    """theta (H,W) in [0,pi) -> HSV hue-wheel RGB in [0,1], vectorized
     (utils/visualization.py:251-269, incl. the reference's quirk of blacking
     out pixels whose confidence equals exactly 1.0)."""
-    import colorsys
-
-    hue = (np.asarray(theta) / np.pi) % 1.0
-    flat = hue.reshape(-1)
-    rgb = np.array([colorsys.hsv_to_rgb(h, 1.0, 1.0) for h in flat])
-    out = rgb.reshape(theta.shape + (3,)).astype(np.float32)
+    hue = (np.asarray(theta, dtype=np.float32) / np.pi) % 1.0
+    # S=V=1 hue wheel: rgb channels are shifted triangle waves of the hue
+    k = hue[..., None] * 6.0 + np.array([0.0, 4.0, 2.0], np.float32)
+    out = np.clip(np.abs((k % 6.0) - 3.0) - 1.0, 0.0, 1.0).astype(np.float32)
     out[np.asarray(confidence) == 1.0] = 0.0
     return out
 
@@ -130,8 +128,18 @@ def render_sets(args):
             else:
                 cur.clean_gaussians()
 
-        mask_act = np.asarray(jax.nn.sigmoid(jnp.asarray(cur.params.mask)))[:, 0]
-        fg_indicator = (mask_act >= FG_BIN_TH).astype(np.float32)
+        fg_indicator = None
+        if t in (2, 3):
+            # subset pull, only for the mask types (the arena is capacity-
+            # padded and device->host is the slow link — see CLAUDE.md)
+            from hairgs_tpu.core.hostsync import sliced_pull
+
+            n_rows = cur.num_segments if is_hair else cur.count
+            mask_logit = sliced_pull({"mask": (cur.params.mask, n_rows)})["mask"]
+            mask_act = 1.0 / (1.0 + np.exp(-mask_logit[:, 0]))
+            fg = np.zeros(cur.params.mask.shape[0], np.float32)
+            fg[:n_rows] = (mask_act >= FG_BIN_TH).astype(np.float32)
+            fg_indicator = fg
 
         for idx, cam in enumerate(cameras):
             inputs, active = inputs_for(cur, cam)

@@ -175,8 +175,11 @@ def parse_participant(participant_folder: str, output: str, flame_model,
             )
             mask = build_hair_mask(seg, alpha, resolution)
             cv2.imwrite(os.path.join(masks_dir, f"image_{cam_id}.png"), mask)
-    except Exception:
-        print(f"Missing masks under {frame_dir}, skipping")
+    except Exception as e:
+        # skip-and-continue like the reference (l.240-243), but say WHY —
+        # the reference's bare except hides real errors as "missing files"
+        print(f"Masks failed for {frame_dir} ({type(e).__name__}: {e}), "
+              f"skipping")
         shutil.rmtree(output)
         return False
 
@@ -211,8 +214,9 @@ def parse_participant(participant_folder: str, output: str, flame_model,
                 os.path.join(orient_dir, f"image_{cam_id}_confidence.png"),
                 (conf * 255).astype(np.uint8),
             )
-    except Exception:
-        print(f"Missing images under {frame_dir}, skipping")
+    except Exception as e:
+        print(f"Images failed for {frame_dir} ({type(e).__name__}: {e}), "
+              f"skipping")
         shutil.rmtree(output)
         return False
 

@@ -113,26 +113,30 @@ def main():
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 
-    def timeit(fn, n, *argsets):
+    def timeit(fn, n, argsets):
+        """argsets[0:2] warm up; argsets[2:2+n] are timed — every timed call
+        gets DISTINCT inputs (the axon platform serves identical executions
+        from cache, which would halve the measured time)."""
+        assert len(argsets) >= n + 2
         fn(*argsets[0])  # compile
-        jax.block_until_ready(fn(*argsets[1 % len(argsets)]))
+        jax.block_until_ready(fn(*argsets[1]))
         t0 = time.perf_counter()
         for i in range(n):
-            r = fn(*argsets[i % len(argsets)])
+            r = fn(*argsets[2 + i])
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / n * 1000.0
 
     jits = [jnp.asarray(np.random.default_rng(i).normal(0, 1e-6, (1, 3))
-                        .astype(np.float32)) for i in range(7)]
+                        .astype(np.float32)) for i in range(args.iters + 2)]
     cam = cams[0]
     jp = jax.jit(prep_and_bin)
     jf = jax.jit(fwd)
     jb = jax.jit(fwd_bwd)
 
-    t_prep = timeit(jp, args.iters, *[(model.params, cam, j) for j in jits])
+    t_prep = timeit(jp, args.iters, [(model.params, cam, j) for j in jits])
     pairs, opf, otl = jax.device_get(jp(model.params, cam, jits[0]))
-    t_fwd = timeit(jf, args.iters, *[(model.params, cam, j) for j in jits])
-    t_bwd = timeit(jb, args.iters, *[(model.params, cam, j) for j in jits])
+    t_fwd = timeit(jf, args.iters, [(model.params, cam, j) for j in jits])
+    t_bwd = timeit(jb, args.iters, [(model.params, cam, j) for j in jits])
 
     # full step: varies via Adam updates; copy state since it donates
     def run_step(i):

@@ -118,9 +118,10 @@ def training(mp, op, gp, rt, args):
         if pallas_on and jax.default_backend() == "tpu":
             # fail at startup, not after the 5-10 min scene load + compile:
             # the pallas table layouts need max_chunks in sublane multiples
-            assert (rt.max_pairs_per_tile // rt.composite_chunk) % 8 == 0, (
-                f"pallas path needs max_pairs_per_tile/composite_chunk to be "
-                f"a multiple of 8 (got {rt.max_pairs_per_tile}/"
+            assert (rt.max_pairs_per_tile % rt.composite_chunk == 0
+                    and (rt.max_pairs_per_tile // rt.composite_chunk) % 8 == 0), (
+                f"pallas path needs max_pairs_per_tile to be a multiple of "
+                f"8*composite_chunk (got {rt.max_pairs_per_tile}/"
                 f"{rt.composite_chunk})")
         return RasterConfig(
             max_tiles_per_gaussian=max_tiles,
