@@ -13,6 +13,9 @@ set -e
 OUT=_runs/perf_r3
 mkdir -p "$OUT"
 
+echo "=== pallas-vs-XLA parity on TPU (kernel changes gate) ==="
+python scripts/tpu_parity_check.py | tee "$OUT/parity.txt"
+
 echo "=== bench r16/f32 (default fidelity) ==="
 python bench.py | tee "$OUT/bench_r16_f32.json"
 

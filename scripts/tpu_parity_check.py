@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Fast pallas-vs-XLA parity check ON REAL TPU (the pytest parity suite runs
+the kernels in interpret mode on CPU; this validates the Mosaic compilation
+itself after kernel changes). Renders one mid-size scene both ways and
+compares images + gradients. Prints PASS/FAIL lines; exits nonzero on FAIL.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_bench
+    from hairgs_tpu.models.gaussian import gaussian_render_inputs
+    from hairgs_tpu.render.renderer import RasterConfig, render
+
+    model, opt, cams, width, height = build_bench(n_gaussians=20_000,
+                                                  width=512, height=512)
+    cam = cams[0]
+    kw = dict(active=model.active, width=width, height=height)
+    cfg_p = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                         chunk=128, use_pallas=True)
+    cfg_x = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                         chunk=128, use_pallas=False)
+
+    def loss(params, cfg):
+        inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+        out = render(cam, **inputs, **kw, config=cfg)
+        img = out["render"]
+        return jnp.sum(img * img) + 0.5 * jnp.sum(out["final_T"]), img
+
+    (lp, img_p), gp = jax.value_and_grad(
+        lambda p: loss(p, cfg_p), has_aux=True)(model.params)
+    (lx, img_x), gx = jax.value_and_grad(
+        lambda p: loss(p, cfg_x), has_aux=True)(model.params)
+    img_err = float(jnp.max(jnp.abs(img_p - img_x)))
+    ok = img_err < 1e-3 and abs(float(lp) - float(lx)) < 1e-2 * max(1.0, abs(float(lx)))
+    grad_errs = {}
+    for (k, a), (_, b) in zip(gp._asdict().items(), gx._asdict().items()):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-6
+        rel = float(jnp.max(jnp.abs(a - b))) / denom
+        grad_errs[k] = rel
+        ok = ok and rel < 5e-3
+    print(f"image max err {img_err:.2e}; loss {float(lp):.4f} vs "
+          f"{float(lx):.4f}; grad rel errs "
+          + " ".join(f"{k}={v:.1e}" for k, v in grad_errs.items()))
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
