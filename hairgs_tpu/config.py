@@ -96,6 +96,9 @@ class RuntimeConfig:
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
     feat_bf16: bool = False  # bf16 feature plane in the pair table (~4% step
     # speedup; feature values/gradients round to bf16, geometry stays f32)
+    antialiasing: bool = False  # Mip-Splatting dilation compensation: scale
+    # opacity by sqrt(det(cov)/det(cov+0.3I)) (opt-in; the reference keeps
+    # the +0.3px low-pass uncompensated)
     device_eval: str = "auto"  # auto: device-side in-training metrics on TPU
     # (final eval always uses the host oracle incl. strand consistency)
     log_interval: int = 10  # scalar-logging/sync cadence (each sync is a

@@ -29,6 +29,8 @@ class Preprocessed(NamedTuple):
     rect: jnp.ndarray  # (N,4) int32 BINNING tile rect [xmin,ymin,xmax,ymax)
     tiles_touched: jnp.ndarray  # (N,) int32 (3-sigma rect, validity/ref parity)
     cull_radius: jnp.ndarray = None  # (N,) alpha-cutoff radius (<= radius)
+    compensation: jnp.ndarray = None  # (N,) Mip-Splatting opacity factor
+    # (only when preprocess(antialiasing=True); 0 on culled rows)
 
 
 def ndc2pix(v, size):
@@ -43,11 +45,19 @@ def compute_cov3d(scales, rotations, scale_modifier=1.0):
     return M @ jnp.swapaxes(M, -1, -2)
 
 
-def project_cov2d(mean3d, cov3d, world_view, focal_x, focal_y, tanfovx, tanfovy):
+def project_cov2d(mean3d, cov3d, world_view, focal_x, focal_y, tanfovx, tanfovy,
+                  return_compensation=False):
     """EWA projection of world covariance to 2D screen covariance.
 
     Returns (N,3): (cov_xx, cov_xy, cov_yy) with the +0.3 pixel low-pass
     applied (forward.cu:74-113).
+
+    return_compensation: also return the Mip-Splatting opacity compensation
+    sqrt(det(cov) / det(cov + 0.3 I)) in (0, 1] — the factor by which the
+    low-pass dilation inflates a Gaussian's integrated screen-space energy
+    (Yu et al., "Mip-Splatting", CVPR 2024, eq. 9). The reference applies
+    the dilation uncompensated (forward.cu:110); the compensated mode is an
+    opt-in improvement (RasterConfig.antialiasing).
     """
     Wm = world_view[:3, :3]
     t = mean3d @ Wm.T + world_view[:3, 3]
@@ -72,10 +82,16 @@ def project_cov2d(mean3d, cov3d, world_view, focal_x, focal_y, tanfovx, tanfovy)
     )  # (N,2,3)
     M = J @ Wm  # (N,2,3)
     cov = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # (N,2,2)
-    cov_xx = cov[..., 0, 0] + 0.3
-    cov_xy = cov[..., 0, 1]
-    cov_yy = cov[..., 1, 1] + 0.3
-    return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
+    c_xx = cov[..., 0, 0]
+    c_xy = cov[..., 0, 1]
+    c_yy = cov[..., 1, 1]
+    out = jnp.stack([c_xx + 0.3, c_xy, c_yy + 0.3], axis=-1)
+    if not return_compensation:
+        return out
+    det_raw = c_xx * c_yy - c_xy * c_xy
+    det_blur = (c_xx + 0.3) * (c_yy + 0.3) - c_xy * c_xy
+    comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / jnp.maximum(det_blur, 1e-12))
+    return out, comp
 
 
 def preprocess(
@@ -91,6 +107,7 @@ def preprocess(
     cov3d_precomp=None,
     mean2d_offset=None,
     opacity=None,
+    antialiasing: bool = False,
 ) -> Preprocessed:
     """Vectorized preprocess over all Gaussians.
 
@@ -105,6 +122,10 @@ def preprocess(
     render is bit-identical with strictly fewer pairs (the CUDA reference
     always bins the full 3-sigma square, forward.cu:232). The `radius`
     output and the validity semantics keep the reference's 3-sigma values.
+
+    antialiasing: compute the Mip-Splatting dilation compensation factor
+    (see project_cov2d); the cull radius then uses the compensated opacity,
+    which is tighter yet still exact against the compositor's ALPHA_MIN gate.
     """
     grid_w = (width + tile_size - 1) // tile_size
     grid_h = (height + tile_size - 1) // tile_size
@@ -124,7 +145,13 @@ def preprocess(
         cov3d = compute_cov3d(scales, rotations, scale_modifier)
     else:
         cov3d = cov3d_precomp
-    cov = project_cov2d(mean3d, cov3d, camera.world_view, focal_x, focal_y, camera.tanfovx, camera.tanfovy)
+    compensation = None
+    if antialiasing:
+        cov, compensation = project_cov2d(
+            mean3d, cov3d, camera.world_view, focal_x, focal_y,
+            camera.tanfovx, camera.tanfovy, return_compensation=True)
+    else:
+        cov = project_cov2d(mean3d, cov3d, camera.world_view, focal_x, focal_y, camera.tanfovx, camera.tanfovy)
 
     det = cov[..., 0] * cov[..., 2] - cov[..., 1] * cov[..., 1]
     det_ok = det != 0.0
@@ -155,8 +182,11 @@ def preprocess(
 
     cull_radius = radius
     if opacity is not None:
+        opa_cull = jax.lax.stop_gradient(opacity)
+        if compensation is not None:
+            opa_cull = opa_cull * jax.lax.stop_gradient(compensation)
         r_alpha2 = 2.0 * jax.lax.stop_gradient(lambda1) * jnp.log(
-            jnp.maximum(jax.lax.stop_gradient(opacity) * 255.0, 1.0)
+            jnp.maximum(opa_cull * 255.0, 1.0)
         )
         # +1px slack absorbs the float boundary (the gate is alpha >= 1/255)
         cull_radius = jnp.minimum(radius, jnp.ceil(jnp.sqrt(r_alpha2)) + 1.0)
@@ -173,6 +203,8 @@ def preprocess(
     # 0*NaN in the compositor and its VJP
     conic = jnp.where(valid[..., None], conic, 0.0)
     xy = jnp.where(valid[..., None], xy, 0.0)
+    if compensation is not None:
+        compensation = jnp.where(valid, compensation, 0.0)
 
     rect = jnp.stack([rxmin, rymin, rxmax, rymax], axis=-1)
     return Preprocessed(
@@ -184,4 +216,5 @@ def preprocess(
         rect=rect,
         tiles_touched=tiles_touched,
         cull_radius=cull_radius,
+        compensation=compensation,
     )

@@ -47,6 +47,11 @@ class RasterConfig:
     feat_bf16: bool = False
     # tiles handled per pallas grid step (amortizes per-step overhead)
     tiles_per_step: int = 32
+    # Mip-Splatting-style dilation compensation: scale opacity by
+    # sqrt(det(cov)/det(cov+0.3I)) so the +0.3px low-pass stops inflating
+    # each Gaussian's screen-space energy (opt-in improvement; the reference
+    # composites the dilated covariance uncompensated, forward.cu:110)
+    antialiasing: bool = False
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -100,9 +105,12 @@ def render(
         cov3d_precomp=cov3d_precomp,
         mean2d_offset=None if config.use_pallas else mean2d_offset,
         opacity=opacity,
+        antialiasing=config.antialiasing,
     )
 
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
+    if config.antialiasing:
+        opa_eff = opa_eff * prep.compensation
     # alpha-cutoff exponent for the exact tile cull: a tile whose min
     # quadratic exceeds ln(255*opa) can never pass the ALPHA_MIN gate
     q_cut = jax.lax.stop_gradient(

@@ -88,7 +88,8 @@ def render_sets(args):
     cfg = RasterConfig(max_tiles_per_gaussian=rt.max_tiles_per_gaussian,
                        max_pairs_per_tile=rt.max_pairs_per_tile,
                        chunk=rt.composite_chunk,
-                       use_pallas=bool(use_pallas) and use_pallas != "false")
+                       use_pallas=bool(use_pallas) and use_pallas != "false",
+                       antialiasing=rt.antialiasing)
 
     it = scene.loaded_iter
     types = [args.type] if args.type != -1 else [0, 2, 3, 4, 1]

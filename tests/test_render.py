@@ -213,3 +213,85 @@ class TestSHColor:
         rgb = sh_to_color(dc, rest, means, cam_center, 0, 0)
         expected = np.maximum(np.asarray(dc)[:, 0] * 0.28209479177387814 + 0.5, 0.0)
         np.testing.assert_allclose(np.asarray(rgb), expected, atol=1e-6)
+
+
+class TestAntialiasing:
+    """Opt-in Mip-Splatting dilation compensation (RasterConfig.antialiasing).
+
+    The reference composites the +0.3px-dilated covariance uncompensated
+    (forward.cu:110); AA mode scales opacity by sqrt(det(cov)/det(cov+0.3I)).
+    """
+
+    def test_compensation_formula_and_bounds(self):
+        cam, (means, scales, q, opacity, features) = make_scene(n=40)
+        prep = preprocess(means, scales, q, cam, WIDTH, HEIGHT, 16,
+                          opacity=opacity, antialiasing=True)
+        comp = np.asarray(prep.compensation)
+        valid = np.asarray(prep.valid)
+        assert np.all(comp[valid] > 0.0) and np.all(comp[valid] <= 1.0)
+        assert np.all(comp[~valid] == 0.0)
+        # direct recomputation from the dilated conic: the dilated covariance
+        # is the conic's inverse, raw covariance = dilated - 0.3 I
+        conic = np.asarray(prep.conic)[valid]
+        det_blur = 1.0 / (conic[:, 0] * conic[:, 2] - conic[:, 1] ** 2)
+        c_xx = conic[:, 2] * det_blur - 0.3
+        c_yy = conic[:, 0] * det_blur - 0.3
+        c_xy = -conic[:, 1] * det_blur
+        det_raw = c_xx * c_yy - c_xy * c_xy
+        np.testing.assert_allclose(comp[valid], np.sqrt(np.maximum(det_raw, 0) / det_blur),
+                                   rtol=2e-3)
+
+    def test_aa_render_dimmer_and_converges_to_plain(self):
+        cam, (means, scales, q, opacity, features) = make_scene(n=40)
+        cfg = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=64, chunk=16)
+        cfg_aa = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=64,
+                              chunk=16, antialiasing=True)
+        kw = dict(means3d=means, scales=scales, rotations=q, opacity=opacity,
+                  features=features, width=WIDTH, height=HEIGHT)
+        plain = render(cam, config=cfg, **kw)
+        aa = render(cam, config=cfg_aa, **kw)
+        # compensation < 1 => strictly less energy, more transmittance
+        assert float(jnp.sum(aa["render"])) < float(jnp.sum(plain["render"]))
+        assert float(jnp.mean(aa["final_T"])) > float(jnp.mean(plain["final_T"]))
+        # with covariances >> 0.3px the compensation tends to 1: huge splats
+        big = render(cam, config=cfg_aa, means3d=means,
+                     scales=scales * 40.0, rotations=q, opacity=opacity,
+                     features=features, width=WIDTH, height=HEIGHT)
+        big_plain = render(cam, config=cfg, means3d=means,
+                           scales=scales * 40.0, rotations=q, opacity=opacity,
+                           features=features, width=WIDTH, height=HEIGHT)
+        np.testing.assert_allclose(np.asarray(big["render"]),
+                                   np.asarray(big_plain["render"]), atol=2e-3)
+
+    def test_aa_gradients_flow_to_scales(self):
+        cam, (means, scales, q, opacity, features) = make_scene(n=25)
+        cfg_aa = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=64,
+                              chunk=16, antialiasing=True)
+
+        def loss(s):
+            out = render(cam, means3d=means, scales=s, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg_aa)
+            return jnp.sum(out["render"] ** 2)
+
+        g = jax.grad(loss)(scales)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0.0
+        # finite-difference check on one coordinate
+        eps = 1e-4
+        e = jnp.zeros_like(scales).at[3, 1].set(eps)
+        fd = (loss(scales + e) - loss(scales - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g[3, 1]), float(fd), rtol=2e-2, atol=1e-3)
+
+    def test_aa_pallas_matches_xla(self):
+        cam, (means, scales, q, opacity, features) = make_scene(n=40)
+        kw = dict(means3d=means, scales=scales, rotations=q, opacity=opacity,
+                  features=features, width=WIDTH, height=HEIGHT)
+        out_x = render(cam, config=RasterConfig(
+            max_tiles_per_gaussian=16, max_pairs_per_tile=64, chunk=16,
+            antialiasing=True), **kw)
+        out_p = render(cam, config=RasterConfig(
+            max_tiles_per_gaussian=16, max_pairs_per_tile=64, chunk=16,
+            use_pallas=True, antialiasing=True), **kw)
+        np.testing.assert_allclose(np.asarray(out_p["render"]),
+                                   np.asarray(out_x["render"]), atol=2e-5)

@@ -129,6 +129,7 @@ def training(mp, op, gp, rt, args):
             chunk=rt.composite_chunk,
             use_pallas=pallas_on,
             feat_bf16=rt.feat_bf16,
+            antialiasing=rt.antialiasing,
         )
 
     raster_cfg = make_raster_cfg(rt.max_tiles_per_gaussian)
