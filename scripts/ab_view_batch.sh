@@ -9,7 +9,11 @@
 set -e
 DATA=${1:-_runs/syn150_512/data}
 ITERS=${2:-4000}
-COMMON="--max_tiles_per_gaussian 16 --max_pairs_per_tile 1024 --capacity_round 131072 \
+# 64 frozen up front: ≥512² scenes otherwise trigger two adaptive-budget
+# recompiles (16->32->64) in the first 100 iters, minutes each on the remote
+# TPU compile helper (see CLAUDE.md), identically in both legs.
+COMMON="--max_tiles_per_gaussian 64 --freeze_tile_budget --max_pairs_per_tile 1024 \
+ --capacity_round 131072 \
  --save_frequency $ITERS --eval_frequency $ITERS --logger none --iterations $ITERS"
 
 for CFG in "seq 1" "vb8 8"; do
