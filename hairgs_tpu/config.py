@@ -105,7 +105,12 @@ class RuntimeConfig:
     # host round trip through the remote TPU runtime; the reference syncs
     # every iteration via loss.item(), train.py:160)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of these steps
-    debug: bool = False  # jax_debug_nans + state dump on non-finite loss  # arena capacity bucket size
+    debug: bool = False  # jax_debug_nans + state dump on non-finite loss
+    async_topology: bool = False  # hair densify/merge events compute on a
+    # background thread from a device snapshot while training continues;
+    # surviving rows keep live values at apply. Deviation from reference
+    # semantics: strategies see snapshot-time stats and land a few
+    # iterations late (topo/async_events.py)
 
 
 _SHORTHANDS = {"source_path": "s", "model_path": "m", "images": "i", "resolution": "r"}

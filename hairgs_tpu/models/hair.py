@@ -144,7 +144,7 @@ class HairModel:
 
     def install(self, endpoints: np.ndarray, endpoint_pairs: np.ndarray,
                 seg_arrays: dict, moments: Optional[dict] = None, step: int = 0,
-                moment_maps=None):
+                moment_maps=None, carry_param_values: bool = False):
         """Write host arrays into (re)padded device arenas.
 
         seg_arrays: features_dc / features_rest / opacity / mask / width.
@@ -153,13 +153,28 @@ class HairModel:
         index maps into the CURRENT opt_state rows (-1 = zero-init) — the
         Adam carry is then computed on device, avoiding the ~1 MB/s
         device->host pull of the moment arenas (CLAUDE.md).
+        carry_param_values: surviving rows (src >= 0) take their CURRENT
+        device parameter values instead of the host arrays (async topology:
+        the host mirror is a stale snapshot for survivors, authoritative only
+        for new rows). Requires moment_maps and a surgery that never
+        value-mutates surviving rows (cat/prune/re-link only).
         """
         ne = endpoints.shape[0]
         ns = endpoint_pairs.shape[0]
         cap_e = _round_capacity(ne, self.capacity_round)
         cap_s = _round_capacity(ns, self.capacity_round)
 
+        host_params = HairParams(
+            endpoints=_pad_to(endpoints.astype(np.float32), cap_e),
+            features_dc=_pad_to(seg_arrays["features_dc"].astype(np.float32), cap_s),
+            features_rest=_pad_to(seg_arrays["features_rest"].astype(np.float32), cap_s),
+            opacity=_pad_to(seg_arrays["opacity"].astype(np.float32), cap_s),
+            mask=_pad_to(seg_arrays["mask"].astype(np.float32), cap_s),
+            width=_pad_to(seg_arrays["width"].astype(np.float32), cap_s),
+        )
+
         remapped = None
+        carried = None
         if moment_maps is not None and self.opt_state is not None:
             ep_src, seg_src, zero_planes = moment_maps
 
@@ -173,41 +188,47 @@ class HairModel:
                 idx = jnp.asarray(np.clip(src_cap, 0, None).astype(np.int32))
                 live = jnp.asarray(src_cap >= 0)
 
-                def take(name, arr):
-                    if name in zero_planes:
+                def take(name, arr, fallback=None):
+                    if fallback is None and name in zero_planes:
                         return jnp.zeros((cap,) + arr.shape[1:], arr.dtype)
                     g = arr[idx]
-                    return jnp.where(
-                        live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0)
+                    lv = live.reshape((-1,) + (1,) * (g.ndim - 1))
+                    return jnp.where(lv, g, 0 if fallback is None
+                                     else jnp.asarray(fallback))
 
                 return take
 
             take_e = dev_map(ep_src, cap_e)
             take_s = dev_map(seg_src, cap_s)
 
-            def remap_tree(tree):
-                return HairParams(
-                    endpoints=take_e("endpoints", tree.endpoints),
-                    features_dc=take_s("features_dc", tree.features_dc),
-                    features_rest=take_s("features_rest", tree.features_rest),
-                    opacity=take_s("opacity", tree.opacity),
-                    mask=take_s("mask", tree.mask),
-                    width=take_s("width", tree.width),
-                )
+            def remap_tree(tree, fallbacks=None):
+                def pick(name, arr):
+                    fb = getattr(fallbacks, name) if fallbacks is not None else None
+                    return (take_e if name == "endpoints" else take_s)(name, arr, fb)
+
+                return HairParams(**{
+                    name: pick(name, getattr(tree, name))
+                    for name in HairParams._fields
+                })
 
             remapped = AdamState(
                 mu=remap_tree(self.opt_state.mu),
                 nu=remap_tree(self.opt_state.nu),
                 step=jnp.asarray(step, jnp.int32),
             )
-        self.params = HairParams(
-            endpoints=jnp.asarray(_pad_to(endpoints.astype(np.float32), cap_e)),
-            features_dc=jnp.asarray(_pad_to(seg_arrays["features_dc"].astype(np.float32), cap_s)),
-            features_rest=jnp.asarray(_pad_to(seg_arrays["features_rest"].astype(np.float32), cap_s)),
-            opacity=jnp.asarray(_pad_to(seg_arrays["opacity"].astype(np.float32), cap_s)),
-            mask=jnp.asarray(_pad_to(seg_arrays["mask"].astype(np.float32), cap_s)),
-            width=jnp.asarray(_pad_to(seg_arrays["width"].astype(np.float32), cap_s)),
-        )
+            if carry_param_values and self.params is not None:
+                assert not zero_planes, (
+                    "carry_param_values cannot express host-mutated planes")
+                carried = remap_tree(self.params, fallbacks=host_params)
+        if carried is not None:
+            self.params = carried
+        else:
+            assert not carry_param_values, (
+                "carry_param_values requires moment_maps and live opt_state")
+            self.params = HairParams(
+                **{name: jnp.asarray(getattr(host_params, name))
+                   for name in HairParams._fields}
+            )
         pairs = _pad_to(endpoint_pairs.astype(np.int32), cap_s)
         self.graph = HairGraph(
             endpoint_pairs=jnp.asarray(pairs),

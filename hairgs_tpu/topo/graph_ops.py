@@ -13,7 +13,7 @@ Adam moments ride along: surviving rows keep their moments, new rows start at
 zero — matching _cat/_prune_tensor_in_optimizer (l.482-532).
 """
 
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import numpy as np
 
@@ -34,10 +34,11 @@ class HairHostState:
     them as device-side gathers instead.
 
     `arrays` lets callers hand in a just-installed host mirror to skip the
-    pull entirely (densify -> merge chaining in the same topology event).
+    pull entirely (densify -> merge chaining in the same topology event);
+    `stats` likewise injects pre-pulled densification stats (async snapshot).
     """
 
-    def __init__(self, model, arrays=None):
+    def __init__(self, model, arrays=None, stats=None):
         from hairgs_tpu.core.hostsync import sliced_pull
 
         self.model = model
@@ -50,7 +51,7 @@ class HairHostState:
         self.seg_src = np.arange(self.pairs.shape[0], dtype=np.int64)
         self.zero_moment_planes = set()
         ns = model.num_segments
-        self.stats = sliced_pull({
+        self.stats = stats if stats is not None else sliced_pull({
             "max_radii2d": (model.stats.max_radii2d, ns),
             "xyz_grad_accum": (model.stats.xyz_grad_accum, ns),
             "denom": (model.stats.denom, ns),
@@ -198,13 +199,13 @@ class HairHostState:
 
     # -- write back -------------------------------------------------------
 
-    def install(self):
+    def install(self, carry_values: bool = False):
         m = self.model
         step = int(m.opt_state.step) if m.opt_state is not None else 0
         m.install(self.endpoints, self.pairs, self.seg,
                   moment_maps=(self.ep_src, self.seg_src,
                                frozenset(self.zero_moment_planes)),
-                  step=step)
+                  step=step, carry_param_values=carry_values)
         m.strand_root_endpoint_idx = self.strand_root_idx
         # stats were reset by install(); restore surviving values
         import jax.numpy as jnp
@@ -475,13 +476,97 @@ def hair_growing(model, training_info=None, growth_length: float = 0.002):
 
 
 def hair_reset_opacity(model):
-    """opacity <- inverse_sigmoid(min(opacity, 0.01)); moments zeroed."""
-    st = HairHostState(model)
-    opa = st.opacity_act()
-    capped = np.minimum(opa, 0.01)
-    st.seg["opacity"] = np.log(capped / (1 - capped)).astype(np.float32)[:, None]
-    st.zero_moment_planes.add("opacity")
-    st.install()
+    """opacity <- inverse_sigmoid(min(opacity, 0.01)); opacity moments zeroed
+    (reference reset_opacity + optimizer surgery, l.1364-1371).
+
+    Pure device op: the reset is elementwise on one plane with no topology
+    change, so the previous host round trip (pull + full re-install, seconds
+    per event at 500k segments over the ~1 MB/s link) is unnecessary."""
+    import jax
+    import jax.numpy as jnp
+
+    p = model.params
+    opa = jax.nn.sigmoid(p.opacity)
+    capped = jnp.minimum(opa, 0.01)
+    new = jnp.log(capped) - jnp.log1p(-capped)
+    active = model.graph.seg_active[:, None]
+    model.params = p._replace(opacity=jnp.where(active, new, p.opacity))
+    if model.opt_state is not None:
+        model.opt_state = model.opt_state._replace(
+            mu=model.opt_state.mu._replace(
+                opacity=jnp.zeros_like(model.opt_state.mu.opacity)),
+            nu=model.opt_state.nu._replace(
+                opacity=jnp.zeros_like(model.opt_state.nu.opacity)),
+        )
+
+
+# --------------------------------------------------------------------------
+# async topology events (TPU-native deviation; opt-in via --async_topology)
+# --------------------------------------------------------------------------
+
+
+class TopologyUpdate(NamedTuple):
+    """A fully computed topology event awaiting installation."""
+
+    st: HairHostState
+    info: Dict
+    strands_info: object  # StrandsInfo for the post-update topology
+
+
+def compute_topology_update(model, *, arrays, stats, densify, merge,
+                            extent=None, max_screen_size=None,
+                            merge_dist_th=None, merge_angle_th=None):
+    """Run a densify and/or merge event purely on a host snapshot.
+
+    Same strategy sequence as hair_densification + hair_merging (reference
+    train.py:171-200 cadence), but without installing: the returned update is
+    applied later by apply_topology_update, at which point SURVIVING rows
+    gather their live device values (the snapshot is only authoritative for
+    topology and new-row synthesis). Safe to run on a worker thread: touches
+    only the snapshot plus immutable model scalars."""
+    from hairgs_tpu.topo.merge import compute_endpoint_pair_to_merge
+    from hairgs_tpu.topo.strands import compute_strands_info
+
+    st = HairHostState(model, arrays=arrays, stats=stats)
+    info = {}
+    if densify:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            grads = st.stats["xyz_grad_accum"] / st.stats["denom"]
+        grads = np.nan_to_num(grads, nan=0.0, posinf=0.0)
+        _clone_strategy(st, grads, extent, model.training_args, info)
+        _split_strategy(st, grads, extent, model.training_args, info)
+        _merge_collapsed_segments_v2(st, info)
+        _prune_strategy(st, extent, max_screen_size, model.training_args, info,
+                        avoid_connected=True)
+    if merge:
+        mid_info = compute_strands_info(model, arrays=st.as_arrays(),
+                                        store=False)
+        pairs = compute_endpoint_pair_to_merge(
+            model, st=st, info=mid_info,
+            dist_th=merge_dist_th, angle_th=merge_angle_th)
+        info["merge"] = int(pairs.shape[0])
+        st.merge_endpoint_pairs(pairs)
+    strands_info = compute_strands_info(model, arrays=st.as_arrays(),
+                                        store=False)
+    return TopologyUpdate(st=st, info=info, strands_info=strands_info)
+
+
+def apply_topology_update(model, update: TopologyUpdate, training_info=None):
+    """Install a background-computed TopologyUpdate between train steps.
+
+    Surviving rows keep their CURRENT device parameter values and Adam
+    moments (gather maps); new rows take the snapshot-synthesized values.
+    Stats restore to the update's values (the reference resets them on any
+    cat anyway, so steps run during the flight only shorten the next
+    accumulation window by the flight length)."""
+    import time
+
+    t0 = time.perf_counter()
+    update.st.install(carry_values=True)
+    model.strands_info = update.strands_info
+    update.info["t_apply"] = round(time.perf_counter() - t0, 3)
+    if training_info is not None:
+        training_info.densification_info.update(update.info)
 
 
 def clean_hair_gaussians(model, avoid_connected: bool = True):

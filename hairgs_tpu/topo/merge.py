@@ -14,17 +14,21 @@ from scipy.spatial import cKDTree
 
 
 def compute_endpoint_pair_to_merge(model, max_num_nn: int = -1,
-                                   st=None) -> np.ndarray:
+                                   st=None, info=None, dist_th=None,
+                                   angle_th=None) -> np.ndarray:
+    """`st`/`info`/thresholds overrides let the async topology worker search
+    a snapshot mirror with launch-time thresholds instead of the live model."""
     cfg = model.training_args
-    dist_th = model.merge_dist_th
-    angle_th = model.merge_angle_th
+    dist_th = model.merge_dist_th if dist_th is None else dist_th
+    angle_th = model.merge_angle_th if angle_th is None else angle_th
     dir_th = np.cos(np.deg2rad(angle_th))
 
     from hairgs_tpu.topo.graph_ops import HairHostState
 
     if st is None:
         st = HairHostState(model)
-    info = model.strands_info
+    if info is None:
+        info = model.strands_info
 
     # strand endpoints (appear once), restricted to foreground segments
     ids, counts = np.unique(st.pairs, return_counts=True)

@@ -80,11 +80,13 @@ def _walk_strands_np(endpoint_pairs: np.ndarray, num_endpoints: int):
 
 
 def compute_strands_info(model, only_foreground: bool = True,
-                         arrays=None) -> StrandsInfo:
+                         arrays=None, store: bool = True) -> StrandsInfo:
     """Build StrandsInfo for a HairModel and store it on the model.
 
     `arrays` lets callers reuse an existing host mirror (topology drivers);
-    otherwise only the needed planes are pulled (device->host is ~1 MB/s)."""
+    otherwise only the needed planes are pulled (device->host is ~1 MB/s).
+    `store=False` returns the info without touching the model (async topology
+    workers walk a snapshot while the model keeps training)."""
     if model.ref_strand_root is None or model.ref_strand_root.shape[0] == 0:
         raise ValueError("ref_strand_root is not set")
     if arrays is None:
@@ -120,7 +122,8 @@ def compute_strands_info(model, only_foreground: bool = True,
         id_to_strand_id=id_to_strand,
         strand_endpoint_id_to_complementary=complementary,
     )
-    model.strands_info = info
+    if store:
+        model.strands_info = info
     return info
 
 

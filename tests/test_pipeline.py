@@ -224,3 +224,50 @@ class TestViewBatchDriver:
         assert all(r == (4, 1) for r in recorded)
         assert os.path.exists(os.path.join(
             model_path, "point_cloud", "iteration_16", "point_cloud.ply"))
+
+
+class TestAsyncTopologyDriver:
+    """--async_topology through training(): densify/merge events compute on
+    the worker thread and install between steps; reset/growth cadences stay
+    synchronous and force-settle flights (train.py async branch)."""
+
+    def test_stage3_trains_async(self, dataset, tmp_path):
+        from train import training
+        from hairgs_tpu.models.hair import HairModel
+        from hairgs_tpu.scene import Scene
+
+        model_path = str(tmp_path / "run")
+        opt = small_opt(20)
+        args = make_args(dataset, model_path, opt)
+        mp = ModelConfig(source_path=dataset, model_path=model_path,
+                         sh_degree=0)
+        gp = GeneralConfig(quiet=True, logger="none",
+                           save_frequency=20, eval_frequency=20)
+        rt = RuntimeConfig(capacity_round=256, max_tiles_per_gaussian=8,
+                           max_pairs_per_tile=128, composite_chunk=16)
+        training(mp, opt, gp, rt, args)
+
+        scene2 = Scene(args, shuffle=False, capacity_round=256)
+        g = scene2.gaussians
+        g.training_setup(opt)
+        hair = g.to_hair_model(scene2.head_reconstruction.scalp_verts)
+        hair.training_setup(opt)
+        scene2.gaussians = hair
+        scene2.save(1)
+
+        # Stage III with async topology: 40 iters crosses the merge cadence
+        # 4x and densification 2x; growth (sync, force-settles) also fires
+        opt3 = dataclasses.replace(small_opt(40), growth_interval=25)
+        args3 = make_args(dataset, model_path, opt3,
+                          extra={"async_topology": True})
+        gp3 = GeneralConfig(quiet=True, logger="none",
+                            save_frequency=40, eval_frequency=40)
+        rt3 = dataclasses.replace(rt, async_topology=True)
+        scene3, model3 = training(mp, opt3, gp3, rt3, args3)
+        assert isinstance(model3, HairModel)
+        assert model3.num_segments > 0
+        assert model3.strands_info is not None
+        # the topology stayed a consistent graph (every active pair indexes
+        # a live endpoint)
+        arr = model3.host_arrays(keys=("endpoint_pairs",))
+        assert arr["endpoint_pairs"].max() < model3.num_endpoints

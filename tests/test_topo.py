@@ -409,3 +409,114 @@ class TestMomentCarryMaps:
         np.testing.assert_allclose(np.asarray(m.opt_state.mu.opacity), 0.0)
         np.testing.assert_allclose(
             np.asarray(m.opt_state.mu.endpoints)[: m.num_endpoints], mu_e)
+
+
+class TestAsyncTopology:
+    """Background topology events (topo/async_events.py, opt-in via
+    --async_topology). Pins the two semantics that make the overlap safe:
+    with no training between launch and poll the result is IDENTICAL to the
+    synchronous path, and with training in between surviving rows keep their
+    LIVE device values while new rows come from the snapshot."""
+
+    def _worker(self, m):
+        from hairgs_tpu.topo.async_events import TopologyWorker
+
+        return TopologyWorker(m)
+
+    def _state(self, m):
+        arr = m.host_arrays()
+        return arr, [s.copy() for s in m.strands_info.list_strands]
+
+    def test_idle_matches_sync_merge(self):
+        eps, pairs = two_strands()
+        m_sync = make_hair_model(eps, pairs)
+        m_async = make_hair_model(eps, pairs)
+
+        info, arrays = hair_densification(
+            m_sync, extent=1.0, max_screen_size=None, return_arrays=True)
+        hair_merging(m_sync, arrays=arrays)
+
+        w = self._worker(m_async)
+        w.launch(densify=True, merge=True, extent=1.0, size_th=None)
+        assert w.poll(force=True)
+        assert not w.in_flight
+
+        a_s, strands_s = self._state(m_sync)
+        a_a, strands_a = self._state(m_async)
+        assert len(strands_s) == len(strands_a) == 1
+        np.testing.assert_array_equal(strands_s[0], strands_a[0])
+        for k in a_s:
+            np.testing.assert_allclose(a_a[k], a_s[k], err_msg=k)
+
+    def test_idle_matches_sync_split(self):
+        eps = np.asarray([[0, 0, 0], [1.0, 0, 0]], np.float32)
+        pairs = np.asarray([[0, 1]], np.int64)
+        m_sync = make_hair_model(eps, pairs)
+        m_async = make_hair_model(eps, pairs)
+
+        hair_densification(m_sync, extent=1.0, max_screen_size=None)
+        assert m_sync.num_segments == 2
+
+        w = self._worker(m_async)
+        w.launch(densify=True, merge=False, extent=1.0, size_th=None)
+        assert w.poll(force=True)
+
+        a_s, _ = self._state(m_sync)
+        a_a, _ = self._state(m_async)
+        for k in a_s:
+            np.testing.assert_allclose(a_a[k], a_s[k], err_msg=k)
+
+    def test_survivors_keep_live_values(self):
+        import jax.numpy as jnp
+
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        w = self._worker(m)
+        w.launch(densify=False, merge=True, extent=1.0, size_th=None)
+
+        # "train" while the flight is out: bump a feature plane and an
+        # endpoint on device (the snapshot must not see this)
+        ns, ne = m.num_segments, m.num_endpoints
+        m.params = m.params._replace(
+            features_dc=m.params.features_dc + 1.0,
+            endpoints=m.params.endpoints.at[0, 0].add(5e-4),
+        )
+        assert w.poll(force=True)
+
+        arr = m.host_arrays()
+        # two_strands merge prunes segment rows 1,2 and cats re-linked
+        # copies: surviving rows 0,3 land at 0,1 with LIVE (bumped) features;
+        # the cat'ed copies keep snapshot values (documented deviation)
+        np.testing.assert_allclose(arr["features_dc"][:2], 1.0)
+        np.testing.assert_allclose(arr["features_dc"][2:], 0.0)
+        # endpoint 0 survives the merge; its live nudge must be kept
+        d = np.linalg.norm(arr["endpoints"] - np.asarray([5e-4, 0, 0]), axis=1)
+        assert d.min() < 1e-7
+        # the merged joint is a NEW row: midpoint of SNAPSHOT ids 2,3
+        d = np.linalg.norm(arr["endpoints"] - np.asarray([0.0205, 0, 0]), axis=1)
+        assert d.min() < 1e-6
+
+    def test_moments_carry_through_async(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        TestMomentCarryMaps._stamp_moments(TestMomentCarryMaps(), m)
+        mu_w_before = np.asarray(m.opt_state.mu.width)[: m.num_segments].copy()
+
+        w = self._worker(m)
+        w.launch(densify=False, merge=True, extent=1.0, size_th=None)
+        assert w.poll(force=True)
+
+        mu_w = np.asarray(m.opt_state.mu.width)[: m.num_segments]
+        np.testing.assert_allclose(mu_w[0], mu_w_before[0])
+        np.testing.assert_allclose(mu_w[1], mu_w_before[3])
+        np.testing.assert_allclose(mu_w[2:], 0.0)
+
+    def test_worker_error_surfaces_in_poll(self):
+        eps, pairs = two_strands()
+        m = make_hair_model(eps, pairs)
+        m.ref_strand_root = None  # poisons compute_strands_info in the flight
+        w = self._worker(m)
+        w.launch(densify=True, merge=False, extent=1.0, size_th=None)
+        with pytest.raises(RuntimeError, match="async topology"):
+            w.poll(force=True)
+        assert not w.in_flight

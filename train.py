@@ -301,6 +301,14 @@ def training(mp, op, gp, rt, args):
         if op.lambda_magnet > 0:
             magnet_idx = tuple(jnp.asarray(x) for x in magnet_indices(model))
 
+    topo_worker = None
+    if is_hair and rt.async_topology:
+        from hairgs_tpu.topo.async_events import TopologyWorker
+
+        topo_worker = TopologyWorker(model)
+    elif rt.async_topology and not gp.quiet:
+        print("[topo] --async_topology applies to hair models only; ignored")
+
     import random as pyrandom
 
     # live viewer (SIBR protocol; train.py:95-131)
@@ -517,30 +525,59 @@ def training(mp, op, gp, rt, args):
         # run at ~1 MB/s through the remote runtime, so every avoided pull
         # is seconds per event.
         topo_changed = False
-        arrays_cache = None
-        if iteration < op.densify_until_iter:
-            if iteration > op.densify_from_iter and crossed(op.densification_interval):
-                size_th = op.prune_max_radii_2d if iteration > op.opacity_reset_interval else None
-                if is_hair:
-                    _, arrays_cache = hair_densification(
-                        model, scene.cameras_extent, size_th, info,
-                        return_arrays=True)
-                else:
-                    model.densification(scene.cameras_extent, size_th, info)
+        if topo_worker is not None:
+            # async mode (hair only): the densify+merge event computes on a
+            # worker thread from a snapshot taken at launch; the result is
+            # installed by poll() a few iterations later with surviving rows
+            # gathering their live device values. Opacity reset and growth
+            # host-mutate surviving rows, so they stay synchronous and
+            # force-settle any flight first.
+            due_densify = (iteration < op.densify_until_iter
+                           and iteration > op.densify_from_iter
+                           and crossed(op.densification_interval))
+            due_merge = crossed(op.merge_interval)
+            due_reset = (iteration < op.densify_until_iter
+                         and crossed(op.opacity_reset_interval))
+            due_grow = crossed(op.growth_interval)
+            force = due_reset or due_grow or iteration >= op.iterations
+            if topo_worker.poll(force=force, training_info=info):
                 topo_changed = True
-            if crossed(op.opacity_reset_interval):
-                if is_hair:
-                    hair_reset_opacity(model)
-                    arrays_cache = None  # opacity plane changed on device
-                else:
-                    model.reset_opacity()
-        if is_hair:
-            if crossed(op.merge_interval):
-                hair_merging(model, info, arrays=arrays_cache)
-                topo_changed = True
-            if crossed(op.growth_interval):
+            if due_reset:
+                hair_reset_opacity(model)
+            if due_grow:
                 hair_growing(model, info)
                 topo_changed = True
+            if due_densify or due_merge:
+                size_th = (op.prune_max_radii_2d
+                           if iteration > op.opacity_reset_interval else None)
+                topo_worker.launch(densify=due_densify, merge=due_merge,
+                                   extent=scene.cameras_extent,
+                                   size_th=size_th)
+        else:
+            arrays_cache = None
+            if iteration < op.densify_until_iter:
+                if iteration > op.densify_from_iter and crossed(op.densification_interval):
+                    size_th = op.prune_max_radii_2d if iteration > op.opacity_reset_interval else None
+                    if is_hair:
+                        _, arrays_cache = hair_densification(
+                            model, scene.cameras_extent, size_th, info,
+                            return_arrays=True)
+                    else:
+                        model.densification(scene.cameras_extent, size_th, info)
+                    topo_changed = True
+                if crossed(op.opacity_reset_interval):
+                    if is_hair:
+                        hair_reset_opacity(model)
+                        arrays_cache = None  # opacity plane changed on device
+                    else:
+                        model.reset_opacity()
+            if is_hair:
+                if crossed(op.merge_interval):
+                    hair_merging(model, info, arrays=arrays_cache)
+                    topo_changed = True
+                if crossed(op.growth_interval):
+                    hair_growing(model, info)
+                    topo_changed = True
         if is_hair and topo_changed:
             refresh_smooth()
 
