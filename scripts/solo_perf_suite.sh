@@ -25,6 +25,15 @@ python bench.py --max_tiles 8 --feat_bf16 | tee "$OUT/bench_r8_bf16.json"
 echo "=== bench r16/f32 chunk=256 ==="
 python bench.py --chunk 256 | tee "$OUT/bench_r16_f32_c256.json"
 
+# tiles_per_step sweep: shared-chip probes could not distinguish tps configs
+# (every variant time-sliced to the same rate behind the trainer); only a
+# solo chip can (docs/ROUND3.md).
+echo "=== bench r16/f32 tps=16 ==="
+python bench.py --tiles_per_step 16 | tee "$OUT/bench_r16_f32_tps16.json"
+
+echo "=== bench r16/f32 tps=64 ==="
+python bench.py --tiles_per_step 64 | tee "$OUT/bench_r16_f32_tps64.json"
+
 echo "=== phase breakdown (bench scale, r16/f32) ==="
 python scripts/phase_breakdown.py --iters 10 \
   | tee "$OUT/breakdown_bench.json"
