@@ -1,0 +1,84 @@
+#!/bin/bash
+# Stage-III quality-corrective experiments (round-3 diagnosis, round-4 run).
+#
+# Diagnosis (docs/ROUND3.md "Stage-III quality post-mortem"): the converged
+# 30k Stage-III schedule REGRESSED strand F1 below the post-merge start
+# (0.518 -> 0.302 @4mm,90deg).  Checkpoint trajectory (CPU re-eval, current
+# metrics code):
+#   30017 post-merge   precision 0.430  recall 0.652  F1 0.518
+#   43017 densify peak precision 0.141  recall 0.875  F1 0.243
+#   49017              precision 0.164  recall 0.812  F1 0.273
+#   62017 final        precision 0.192  recall 0.701  F1 0.302
+# Precision collapsed during densification (88k->620k segments) and the
+# consolidation phase recovered it at only ~0.006 F1 per 1000 iters.  An
+# opacity-threshold sweep (scripts/probe_opacity_filter.py) shows the error
+# is NOT low-opacity clutter: precision stays ~0.19 at every threshold up to
+# 0.5.  Compounding suspects, in likelihood order:
+#   (a) chronic binning overflow: the wall-clock-tuned legs ran frozen
+#       max_tiles 8-16 at 400-620k segments and dropped 400-800k pairs per
+#       step (~15-25% of rendering work) -- segments systematically lose
+#       gradient from their distal tiles, and the densify stats misread;
+#   (b) thin-structure photometric regime: at 512^2 the 1px GT strands vs
+#       gapped splats decouple image loss from strand placement (PSNR ROSE
+#       20.2->20.8 while precision collapsed); --antialiasing exists but was
+#       never used in a Stage-III leg;
+#   (c) each resume leg restarted the position-LR decay from its initial
+#       value (reference train.py:91 does the same on resume, but the
+#       reference's nominal flow is one uninterrupted 30k schedule).
+#
+# Usage:
+#   sh scripts/stage3_corrective.sh polish       # E1: 2k clean-gradient polish
+#   sh scripts/stage3_corrective.sh polish_aa    # E2: E1 + --antialiasing
+#   sh scripts/stage3_corrective.sh full         # E3: 10k leg from post-merge
+#
+# E1/E2 (30-40 min each): from the converged 62017 model, no densification,
+# overflow-zero budgets (r=64/f32 at 200k segments), position LR pinned at
+# the schedule's final value.  Measures the pure-optimization recovery slope
+# with clean gradients; E2 isolates the antialiasing effect.
+# E3 (multi-hour): re-run from the post-merge checkpoint with overflow-zero
+# budgets, one continuous LR schedule, async topology for wall clock, and
+# --antialiasing if E2 beats E1.  Target: F1(b) > 0.518 @ (4mm,90 deg).
+set -e
+cd "$(dirname "$0")/.."
+MODE=${1:?usage: stage3_corrective.sh polish|polish_aa|full}
+DATA=_runs/syn150_512/data
+SRC=_runs/syn150_512/model
+
+COMMON="--max_tiles_per_gaussian 64 --freeze_tile_budget \
+ --max_pairs_per_tile 2048 --capacity_round 131072 --logger none"
+
+case "$MODE" in
+  polish|polish_aa)
+    OUT=_runs/s3_$MODE
+    rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
+    cp -r "$SRC/point_cloud/iteration_62017" "$OUT/point_cloud/"
+    EXTRA=""
+    [ "$MODE" = polish_aa ] && EXTRA="--antialiasing"
+    python train.py -s "$DATA" -m "$OUT" $COMMON $EXTRA \
+      --iterations 2000 \
+      --position_lr_init 0.0000016 --position_lr_final 0.0000016 \
+      --position_lr_max_steps 2000 \
+      --densify_until_iter 0 --merge_interval 1000000 \
+      --growth_interval 1000000 --opacity_reset_interval 1000000 \
+      --save_frequency 2000 --eval_frequency 1000000
+    python eval.py -s "$DATA" \
+      -p "$OUT/point_cloud/iteration_64017/point_cloud.ply" -pt gs -m "$OUT"
+    ;;
+  full)
+    OUT=_runs/s3_full
+    rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
+    cp -r "$SRC/point_cloud/iteration_30017" "$OUT/point_cloud/"
+    # densify for half the leg at a doubled grad threshold (the reference's
+    # 0.0002 is tuned for 1000^2 real captures; at 512^2 synthetic it drove
+    # 7x over-densification), consolidate for the other half, one LR decay.
+    python train.py -s "$DATA" -m "$OUT" $COMMON --antialiasing \
+      --async_topology --feat_bf16 \
+      --iterations 10000 --position_lr_max_steps 10000 \
+      --densify_until_iter 5000 --densify_grad_threshold 0.0004 \
+      --opacity_reset_interval 3000 \
+      --save_frequency 1000 --eval_frequency 5000
+    python eval.py -s "$DATA" \
+      -p "$OUT/point_cloud/iteration_40017/point_cloud.ply" -pt gs -m "$OUT"
+    ;;
+esac
+echo "=== corrective $MODE DONE ==="

@@ -507,9 +507,11 @@ def training(mp, op, gp, rt, args):
                 # costs minutes on the remote-compile TPU helper)
                 args.max_tiles_per_gaussian = new_budget
                 save_cfg_args(args.model_path, args)
-            overflow = int(m["overflow_tiles"]) + overflow_pairs
+            overflow_tiles = int(m["overflow_tiles"])
+            overflow = overflow_tiles + overflow_pairs
             if overflow and not gp.quiet:
-                print(f"[warn] iter {iteration}: {overflow} binning overflows")
+                print(f"[warn] iter {iteration}: {overflow} binning overflows "
+                      f"({overflow_pairs} pair-budget, {overflow_tiles} tile-cap)")
             if not gp.quiet and crossed(100):
                 print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
                       f"psnr {info.train_psnr:.2f}  "
