@@ -16,11 +16,22 @@ mkdir -p "$OUT"
 echo "=== pallas-vs-XLA parity on TPU (kernel changes gate) ==="
 python scripts/tpu_parity_check.py | tee "$OUT/parity.txt"
 
+# Ordered most-critical-first so a round-end cutoff loses only sweep points:
+# headline bench and the roofline breakdowns are the judged artifacts.
 echo "=== bench r16/f32 (default fidelity) ==="
 python bench.py | tee "$OUT/bench_r16_f32.json"
 
+echo "=== phase breakdown (bench scale, r16/f32) ==="
+python scripts/phase_breakdown.py --iters 10 \
+  | tee "$OUT/breakdown_bench.json"
+
 echo "=== bench r8 + bf16 ==="
 python bench.py --max_tiles 8 --feat_bf16 | tee "$OUT/bench_r8_bf16.json"
+
+echo "=== phase breakdown (hair scale, r8/bf16) ==="
+python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
+  --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
+  --aniso --scale_lo 3e-4 | tee "$OUT/breakdown_hair.json"
 
 echo "=== bench r16/f32 chunk=256 ==="
 python bench.py --chunk 256 | tee "$OUT/bench_r16_f32_c256.json"
@@ -33,14 +44,5 @@ python bench.py --tiles_per_step 16 | tee "$OUT/bench_r16_f32_tps16.json"
 
 echo "=== bench r16/f32 tps=64 ==="
 python bench.py --tiles_per_step 64 | tee "$OUT/bench_r16_f32_tps64.json"
-
-echo "=== phase breakdown (bench scale, r16/f32) ==="
-python scripts/phase_breakdown.py --iters 10 \
-  | tee "$OUT/breakdown_bench.json"
-
-echo "=== phase breakdown (hair scale, r8/bf16) ==="
-python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
-  --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
-  --aniso --scale_lo 3e-4 | tee "$OUT/breakdown_hair.json"
 
 echo "=== DONE ==="
