@@ -161,3 +161,31 @@ class TestPallasBackward:
                 np.asarray(gp), np.asarray(gx), atol=2e-3 * scale, rtol=2e-3,
                 err_msg=f"gradient mismatch for {name}",
             )
+
+    def test_grads_match_xla_with_antialiasing(self):
+        """The Mip-Splatting compensation multiplies opacity OUTSIDE the
+        custom-VJP compositor, so its gradient path (into scales via the
+        conic determinant) must survive the pallas backward unchanged —
+        the Stage-III corrective legs train with AA on the pallas path."""
+        scene = make_scene(n=40, opacity_max=0.8)
+        cam, args = scene
+        rng = np.random.default_rng(11)
+        gw = jnp.asarray(rng.normal(size=(HEIGHT, WIDTH, 3)).astype(np.float32))
+        xla_aa = dataclasses.replace(XLA_CFG, antialiasing=True)
+        pl_aa = dataclasses.replace(PL_CFG, antialiasing=True)
+
+        def loss(cfg, means, scales, q, opacity, features):
+            out = render(cam, means3d=means, scales=scales, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(out["render"] * gw) + 0.3 * jnp.sum(out["final_T"])
+
+        g_x = jax.grad(lambda *a: loss(xla_aa, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        g_p = jax.grad(lambda *a: loss(pl_aa, *a), argnums=(0, 1, 2, 3, 4))(*args)
+        for name, gx, gp in zip(["means", "scales", "q", "opacity", "features"],
+                                g_x, g_p):
+            scale = np.maximum(np.abs(np.asarray(gx)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), atol=2e-3 * scale, rtol=2e-3,
+                err_msg=f"AA gradient mismatch for {name}",
+            )
