@@ -48,12 +48,22 @@ COMMON="--max_tiles_per_gaussian 64 --freeze_tile_budget \
  --max_pairs_per_tile 2048 --capacity_round 131072 --logger none"
 
 case "$MODE" in
-  polish|polish_aa)
+  polish|polish_aa|polish_postmerge)
+    # polish/polish_aa: from the converged (fragmented) 62017 state.
+    # polish_postmerge: from the healthy post-merge 30017 state (F1 0.518,
+    #   but rendered 2.7x too dark) — since the scene's GT is exactly
+    #   representable (BASELINE.md), pure param optimization with clean
+    #   budgets + AA should brighten widths/opacities WITHOUT the
+    #   densification dynamics that destroyed precision; if F1 holds at
+    #   ~0.5+ while masked-PSNR climbs, the corrective `full` recipe is
+    #   validated before spending its multi-hour budget.
+    BASE=iteration_62017
+    [ "$MODE" = polish_postmerge ] && BASE=iteration_30017
     OUT=_runs/s3_$MODE
     rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
-    cp -r "$SRC/point_cloud/iteration_62017" "$OUT/point_cloud/"
+    cp -r "$SRC/point_cloud/$BASE" "$OUT/point_cloud/"
     EXTRA=""
-    [ "$MODE" = polish_aa ] && EXTRA="--antialiasing"
+    [ "$MODE" != polish ] && EXTRA="--antialiasing"
     python train.py -s "$DATA" -m "$OUT" $COMMON $EXTRA \
       --iterations 2000 \
       --position_lr_init 0.0000016 --position_lr_final 0.0000016 \
@@ -61,8 +71,9 @@ case "$MODE" in
       --densify_until_iter 0 --merge_interval 1000000 \
       --growth_interval 1000000 --opacity_reset_interval 1000000 \
       --save_frequency 2000 --eval_frequency 1000000
+    LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
     python eval.py -s "$DATA" \
-      -p "$OUT/point_cloud/iteration_64017/point_cloud.ply" -pt gs -m "$OUT"
+      -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
     ;;
   full)
     OUT=_runs/s3_full
