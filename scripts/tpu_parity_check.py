@@ -44,6 +44,8 @@ def main():
     ok = img_err < 1e-3 and abs(float(lp) - float(lx)) < 1e-2 * max(1.0, abs(float(lx)))
     grad_errs = {}
     for (k, a), (_, b) in zip(gp._asdict().items(), gx._asdict().items()):
+        if b.size == 0:  # e.g. the SH-rest plane at sh_degree 0
+            continue
         denom = float(jnp.max(jnp.abs(b))) + 1e-6
         rel = float(jnp.max(jnp.abs(a - b))) / denom
         grad_errs[k] = rel
