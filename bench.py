@@ -99,9 +99,14 @@ def main():
     parser.add_argument("--chunk", type=int, default=128)
     parser.add_argument("--max_pairs", type=int, default=2048)
     parser.add_argument("--tiles_per_step", type=int, default=32)
+    parser.add_argument("--n_cams", type=int, default=4,
+                        help="viewpoints rotated through the timed loop "
+                             "(1 reproduces the round-2 fixed-camera "
+                             "methodology for like-for-like comparisons)")
     args = parser.parse_args()
 
     model, opt, cams, width, height = build_bench()
+    cams = cams[: max(1, args.n_cams)]
     cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
                        max_pairs_per_tile=args.max_pairs,
                        chunk=args.chunk, use_pallas=True,
