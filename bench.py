@@ -140,7 +140,8 @@ def main():
     print(json.dumps({
         "metric": "stage1_train_iters_per_sec",
         "value": round(iters_per_sec, 3),
-        "unit": "iter/s (100k gaussians, 1000x1000, fused rgb+mask+orientation, 4 viewpoints)",
+        "unit": "iter/s (100k gaussians, 1000x1000, fused rgb+mask+orientation, "
+                f"{len(cams)} viewpoint{'s' if len(cams) > 1 else ''})",
         "vs_baseline": round(iters_per_sec / ASSUMED_CUDA_REFERENCE_ITERS_PER_SEC, 3),
     }))
 
