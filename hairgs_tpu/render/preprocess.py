@@ -90,7 +90,16 @@ def project_cov2d(mean3d, cov3d, world_view, focal_x, focal_y, tanfovx, tanfovy,
         return out
     det_raw = c_xx * c_yy - c_xy * c_xy
     det_blur = (c_xx + 0.3) * (c_yy + 0.3) - c_xy * c_xy
-    comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / jnp.maximum(det_blur, 1e-12))
+    # Both determinants are where-clamped BELOW a positive epsilon before the
+    # sqrt (Mip-Splatting kernel pattern): thin strands routinely cancel to
+    # det_raw <= 0, and sqrt/maximum VJPs evaluated at 0 emit NaN (0*inf)
+    # that a downstream where cannot remove. The where-guard gives a zero
+    # gradient on the clamped branch and bounds the ~1/sqrt(det) gradient
+    # for near-degenerate rows.
+    eps = 1e-6
+    det_raw_safe = jnp.where(det_raw > eps, det_raw, eps)
+    det_blur_safe = jnp.where(det_blur > eps, det_blur, eps)
+    comp = jnp.sqrt(det_raw_safe / det_blur_safe)
     return out, comp
 
 

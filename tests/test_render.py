@@ -283,6 +283,29 @@ class TestAntialiasing:
         fd = (loss(scales + e) - loss(scales - e)) / (2 * eps)
         np.testing.assert_allclose(float(g[3, 1]), float(fd), rtol=2e-2, atol=1e-3)
 
+    def test_aa_grads_finite_at_degenerate_cov(self):
+        """Thin strands cancel to det_raw <= 0; the compensation sqrt must
+        never emit NaN gradients there (round-3 advisor finding: the old
+        maximum(det_raw, 0) form produced 0*inf in the VJP that no
+        downstream where could remove)."""
+        cam, (means, scales, q, opacity, features) = make_scene(n=12)
+        # force degenerate 2D footprints: one axis collapsed to ~0 (rank-1
+        # covariance after projection => det_raw cancels at f32)
+        scales = scales.at[:, 1].set(1e-9)
+        scales = scales.at[0, :].set(1e-9)  # fully collapsed row too
+        cfg_aa = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=64,
+                              chunk=16, antialiasing=True)
+
+        def loss(ms, sc, qq, op):
+            out = render(cam, means3d=ms, scales=sc, rotations=qq,
+                         opacity=op, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg_aa)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"])
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(means, scales, q, opacity)
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g))), "NaN/Inf in AA gradients"
+
     def test_aa_pallas_matches_xla(self):
         cam, (means, scales, q, opacity, features) = make_scene(n=40)
         kw = dict(means3d=means, scales=scales, rotations=q, opacity=opacity,
