@@ -82,7 +82,7 @@ class RuntimeConfig:
     """TPU-specific knobs with no reference equivalent."""
 
     view_batch: int = 1  # cameras per step, sharded over the mesh data axis
-    mesh_data_axis: int = 0  # 0 = use all local devices
+    mesh_max_devices: int = 0  # cap on the view-DP mesh size; 0 = all local devices
     gauss_shard: int = 1  # >1: depth-slab shard the Gaussian axis over this
     # many devices (scale-out for scenes whose pair tables outgrow one chip;
     # composes with view_batch via a (data x gauss) 2D mesh)

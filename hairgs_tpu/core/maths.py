@@ -1,9 +1,9 @@
 """Small math helpers shared across the framework."""
 
 import math
+import statistics
 
 import jax.numpy as jnp
-from jax.scipy.special import erfinv
 
 MIN_VAL = 1e-7  # reference GaussianModel.min_val (scene/gaussian_model.py:34)
 
@@ -24,8 +24,22 @@ def safe_norm(x, axis=-1, keepdims=False, eps=1e-24):
 
 
 def normal_icdf(q):
-    """Standard normal inverse CDF."""
-    return math.sqrt(2.0) * float(erfinv(2.0 * q - 1.0))
+    """Standard normal inverse CDF (pure host-side stdlib: this runs at
+    class-definition time in models/gaussian.py, and a jax op here would
+    force backend init on *import* — which dies whenever the TPU tunnel is
+    transiently unavailable, as it was for round 3's bench capture)."""
+    x = statistics.NormalDist().inv_cdf(q)
+    # stdlib uses Acklam's rational approximation (~1e-9 abs err); two Newton
+    # steps on the double-precision erf CDF restore full float64 accuracy.
+    # Documented deviation: the reference's 0.5102133812190369
+    # (scene/gaussian_model.py:696-704) is a float32-erfinv artifact of
+    # torch; the true float64 value 0.510213456924654 differs by 1.5e-7
+    # relative — immaterial for widths, and parity tests use rtol 1e-6.
+    for _ in range(2):
+        cdf = 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+        pdf = math.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
+        x -= (cdf - q) / pdf
+    return x
 
 
 def pval_to_dist_to_scale_factor(pval: float) -> float:

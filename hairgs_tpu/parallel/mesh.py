@@ -29,14 +29,18 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def make_view_mesh(view_batch: int, mesh_data_axis: int = 0) -> Optional[Mesh]:
+def make_view_mesh(view_batch: int, max_devices: int = 0) -> Optional[Mesh]:
     """Mesh for the train driver's view-batch DP, or None when one device
     suffices. Uses the largest device count <= min(local devices, view_batch)
-    that divides view_batch (even shards keep shapes static under jit)."""
+    that divides view_batch (even shards keep shapes static under jit).
+
+    max_devices: optional cap on the mesh size; 0 (default) means
+    "all local devices"."""
     if view_batch <= 1:
         return None
-    n = mesh_data_axis if mesh_data_axis > 0 else min(len(jax.devices()), view_batch)
-    n = min(n, len(jax.devices()), view_batch)
+    n = min(len(jax.devices()), view_batch)
+    if max_devices > 0:
+        n = min(n, max_devices)
     while view_batch % n:
         n -= 1
     if n <= 1:

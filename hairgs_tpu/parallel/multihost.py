@@ -26,6 +26,7 @@ both; an 8-process CPU run over gloo validates the real process boundary).
 
 import json
 import os
+import warnings
 from typing import Dict, List
 
 import numpy as np
@@ -161,6 +162,21 @@ def load_sharded_state(ckpt_dir: str, template_tree, mesh=None):
 
     leaves_t = _leaf_paths(template_tree)
     out_leaves = {}
+    # Schema-drift guards: a renamed/added state field silently resuming
+    # from its fresh-init value (or a stored field with nowhere to go) would
+    # corrupt a resumed run undetected.
+    missing = [k for k, leaf in leaves_t.items()
+               if leaf is not None and k not in manifest["arrays"]]
+    if missing:
+        raise KeyError(
+            f"load_sharded_state: template leaves absent from checkpoint "
+            f"manifest {sorted(missing)} — schema drift? (checkpoint keys: "
+            f"{sorted(manifest['arrays'])[:20]}...)")
+    orphaned = [k for k in manifest["arrays"] if k not in leaves_t]
+    if orphaned:
+        warnings.warn(
+            f"load_sharded_state: checkpoint entries with no matching "
+            f"template leaf are ignored: {sorted(orphaned)}")
     for key, leaf in leaves_t.items():
         if leaf is None or key not in manifest["arrays"]:
             out_leaves[key] = leaf

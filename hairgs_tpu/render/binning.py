@@ -129,7 +129,18 @@ def _expand_pairs(rect, valid, grid_w, grid_h, max_tiles_per_gaussian,
         _, sel = jax.lax.top_k(score, r_max)
         tile = jnp.take_along_axis(tile_probe, sel, axis=1)
         n_passing = jnp.sum(pair_ok, axis=1)
-        lost = jnp.maximum(n_passing - r_max, 0) + jnp.maximum(count - r_probe, 0)
+        # Untested rect cells beyond the probe window are counted at the
+        # probe window's observed alpha-cull pass rate, not 1:1 — for the
+        # large-footprint gaussians that exceed the window most untested
+        # cells would fail the cull, and counting them all as lost inflates
+        # overflow_pairs into the adaptive tile-budget controller (each
+        # unnecessary budget growth costs a multi-minute recompile).
+        n_tested = jnp.maximum(jnp.minimum(count, r_probe), 1)
+        pass_rate = n_passing.astype(jnp.float32) / n_tested.astype(jnp.float32)
+        est_untested = jnp.round(
+            jnp.maximum(count - r_probe, 0).astype(jnp.float32) * pass_rate
+        ).astype(n_passing.dtype)
+        lost = jnp.maximum(n_passing - r_max, 0) + est_untested
     else:
         tile = tile_probe
         lost = jnp.maximum(count - r_max, 0)

@@ -420,6 +420,35 @@ def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
     return out, out, trans
 
 
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # of ~16 MB/core; headroom for spills
+
+
+def _assert_vmem_budget(max_chunks, chunk, c_pad, feat_dtype, num_channels,
+                        tps, pix, interpret):
+    """Scratch VMEM scales linearly with max_chunks (one slot per chunk, all
+    DMAs issued up front); fail at trace time with the resize knobs named
+    instead of letting Mosaic die on an opaque allocation error. Budgets the
+    BACKWARD (the larger program: 2x geo/feat slot arrays + the per-tile
+    tstarts block + two cotangent blocks)."""
+    if interpret:
+        return
+    feat_bytes = jnp.dtype(feat_dtype).itemsize
+    slot_bytes = max_chunks * chunk * (GEO_ROWS * 4 + c_pad * feat_bytes)
+    block_bytes = (
+        tps * max_chunks * pix * 4       # tstarts block
+        + 3 * tps * pix * 4              # trans_final + g_trans (+fwd trans)
+        + 2 * num_channels * tps * pix * 4  # g_out + g_photo blocks
+    )
+    total = 2 * slot_bytes + block_bytes
+    assert total <= _VMEM_BUDGET_BYTES, (
+        f"compositor VMEM estimate {total / 2**20:.1f} MiB exceeds the "
+        f"{_VMEM_BUDGET_BYTES / 2**20:.0f} MiB budget: max_chunks="
+        f"{max_chunks} (= max_pairs_per_tile/chunk), chunk={chunk}, "
+        f"c_pad={c_pad}, tiles_per_step={tps}. Lower max_pairs_per_tile, "
+        f"raise chunk, or lower tiles_per_step."
+    )
+
+
 def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                     tile_size, chunk, max_chunks, num_channels, interpret,
                     tiles_per_step=TILES_PER_STEP):
@@ -435,6 +464,8 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
     assert chunk % 128 == 0 or interpret, (
         "pallas path requires chunk to be a multiple of 128 (HBM lane tiling)"
     )
+    _assert_vmem_budget(max_chunks, chunk, c_pad, feat_dtype, num_channels,
+                        tps, pix, interpret)
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels,

@@ -14,6 +14,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from bench import _wait_for_backend
+
+    if not _wait_for_backend(max_wait=900):
+        print("FAIL: TPU backend unavailable after 900s of retries")
+        sys.exit(2)
+
     import jax
     import jax.numpy as jnp
 

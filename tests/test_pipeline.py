@@ -40,7 +40,7 @@ def make_args(source, model_path, opt, extra=None):
         quiet=True, logger="none", ip="", port=0, vis2d=False,
         update_vis2d_frequency=10**9, vis3d=False,
         save_frequency=opt.iterations, eval_frequency=opt.iterations,
-        view_batch=1, mesh_data_axis=0, capacity_round=256,
+        view_batch=1, mesh_max_devices=0, capacity_round=256,
         **SMALL_RASTER,
     )
     for f in dataclasses.fields(OptimizationConfig):

@@ -237,7 +237,7 @@ def training(mp, op, gp, rt, args):
         print(f"[parallel] gauss_shard={gauss_shard} x data={data_size} "
               f"({mesh.devices.size} device(s))")
     else:
-        mesh = make_view_mesh(view_batch, rt.mesh_data_axis)
+        mesh = make_view_mesh(view_batch, rt.mesh_max_devices)
         if view_batch > 1:
             print(f"[parallel] view_batch={view_batch} over "
                   f"{mesh.devices.size if mesh is not None else 1} device(s)")
