@@ -162,6 +162,12 @@ def main():
     parser.add_argument("--chunk", type=int, default=128)
     parser.add_argument("--max_pairs", type=int, default=2048)
     parser.add_argument("--tiles_per_step", type=int, default=32)
+    parser.add_argument("--pair_capacity", type=int, default=0,
+                        help="compact paged pair-table slots (0 = worst-case "
+                             "n*max_tiles sizing)")
+    parser.add_argument("--no_stats", action="store_true",
+                        help="compile densification-stats rows out of the "
+                             "backward (post-densify regime)")
     parser.add_argument("--n_cams", type=int, default=4,
                         help="viewpoints rotated through the timed loop "
                              "(1 reproduces the round-2 fixed-camera "
@@ -174,7 +180,9 @@ def main():
                        max_pairs_per_tile=args.max_pairs,
                        chunk=args.chunk, use_pallas=True,
                        feat_bf16=args.feat_bf16,
-                       tiles_per_step=args.tiles_per_step)
+                       tiles_per_step=args.tiles_per_step,
+                       pair_capacity=args.pair_capacity,
+                       viewspace_stats=not args.no_stats)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 

@@ -92,6 +92,12 @@ class RuntimeConfig:
     # step, minutes on the remote compile helper)
     max_pairs_per_tile: int = 2048
     composite_chunk: int = 128
+    pair_capacity: int = 0  # compact paged pair-table size in slots. 0 =
+    # adaptive (driver starts near the measured demand and re-buckets, one
+    # recompile per change); -1 = worst-case n*max_tiles sizing (round-3
+    # behavior: 6-9x padding at hair scale but never capacity-truncates);
+    # >0 = fixed slot count (rounded up to the chunk)
+    pair_capacity_round: int = 131072  # adaptive pair-capacity bucket granule
     capacity_round: int = 4096
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
     feat_bf16: bool = False  # bf16 feature plane in the pair table (~4% step

@@ -173,6 +173,10 @@ def make_shardmap_gaussian_step(
                 jnp.sum(auxes["overflow_pairs"]), axis_name),
             overflow_tiles=jax.lax.psum(
                 jnp.sum(auxes["overflow_tiles"]), axis_name),
+            overflow_capacity=jax.lax.psum(
+                jnp.sum(auxes["overflow_capacity"]), axis_name),
+            pairs_demand=jax.lax.pmax(
+                jnp.max(auxes["pairs_demand"]), axis_name),
         )
         return params, stats, opt_state, metrics, auxes["image"][:1]
 
@@ -285,6 +289,10 @@ def make_shardmap_hair_step(
                 jnp.sum(auxes["overflow_pairs"]), axis_name),
             overflow_tiles=jax.lax.psum(
                 jnp.sum(auxes["overflow_tiles"]), axis_name),
+            overflow_capacity=jax.lax.psum(
+                jnp.sum(auxes["overflow_capacity"]), axis_name),
+            pairs_demand=jax.lax.pmax(
+                jnp.max(auxes["pairs_demand"]), axis_name),
         )
         return params, stats, opt_state, metrics, auxes["image"][:1]
 

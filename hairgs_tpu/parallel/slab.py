@@ -118,6 +118,8 @@ def render_gauss_sharded(
             out["radii"],
             jnp.reshape(out["overflow_pairs"], (1,)),
             jnp.reshape(out["overflow_tiles"], (1,)),
+            jnp.reshape(out["overflow_capacity"], (1,)),
+            jnp.reshape(out["pairs_demand"], (1,)),
         )
 
     spec_g = P(axis_name)
@@ -126,10 +128,12 @@ def render_gauss_sharded(
         mesh=mesh,
         in_specs=(P(), spec_g, spec_g, spec_g, spec_g, spec_g, spec_g,
                   None if mean2d_offset is None else spec_g),
-        out_specs=(spec_g, spec_g, spec_g, spec_g, spec_g, spec_g),
+        out_specs=(spec_g, spec_g, spec_g, spec_g, spec_g, spec_g, spec_g,
+                   spec_g),
         check_vma=False,
     )
-    imgs, imgs_photo, ts, radii_p, opairs, otiles = sharded_slab(
+    (imgs, imgs_photo, ts, radii_p, opairs, otiles, ocap,
+     demand) = sharded_slab(
         cam_light, g(means3d), g(opacity), g(features), g(scales),
         g(rotations), g(active), g(mean2d_offset),
     )
@@ -149,6 +153,10 @@ def render_gauss_sharded(
         "visibility_filter": radii > 0,
         "overflow_pairs": jnp.sum(opairs),
         "overflow_tiles": jnp.sum(otiles),
+        "overflow_capacity": jnp.sum(ocap),
+        # per-slab tables are sized independently; capacity must cover the
+        # largest slab's demand
+        "pairs_demand": jnp.max(demand),
     }
 
 
@@ -248,6 +256,8 @@ def make_slab_render(axis_name: str, num_slabs: int):
             "visibility_filter": radii > 0,
             "overflow_pairs": out["overflow_pairs"],
             "overflow_tiles": out["overflow_tiles"],
+            "overflow_capacity": out["overflow_capacity"],
+            "pairs_demand": out["pairs_demand"],
         }
 
     return slab_render

@@ -42,6 +42,10 @@ class SortedBinning(NamedTuple):
     counts: jnp.ndarray  # (num_tiles,) int32 true counts (capped)
     overflow_pairs: jnp.ndarray  # () int32 dropped by per-gaussian budget
     overflow_tiles: jnp.ndarray  # () int32 beyond the per-tile processing cap
+    overflow_capacity: jnp.ndarray = None  # () int32 dropped by pair_capacity
+    pairs_demand: jnp.ndarray = None  # () int32 chunk-padded slots the view
+    #                                   actually needs (pre-capacity): the
+    #                                   capacity controller's jump target
 
 
 def _tile_min_power(xy, conic, tx, ty, tile_size):
@@ -156,6 +160,25 @@ def paged_capacity(n: int, max_tiles_per_gaussian: int, num_tiles: int,
     return n * max_tiles_per_gaussian + (num_tiles + 1) * chunk
 
 
+def compact_capacity(pair_capacity: int, n: int, max_tiles_per_gaussian: int,
+                     num_tiles: int, chunk: int) -> int:
+    """Effective paged-table size for a requested pair budget.
+
+    The worst-case bound (paged_capacity) sizes the table for every gaussian
+    using its full tile budget — at hair scale that is 6-9x the post-cull
+    real pair count, and every downstream buffer (two gathered pair planes,
+    two gradient planes, their zero-inits) pays the padding in HBM traffic
+    (round-3 roofline: the step is padding/overhead-bound). A pair_capacity
+    sizes the table near the true demand; tiles whose chunk-aligned page
+    would start past the cap are truncated and counted in overflow_tiles so
+    the driver's budget controller can grow the bucket.
+    pair_capacity is rounded up to the chunk and includes the trailing spare
+    zero chunk."""
+    cap = min(int(pair_capacity),
+              paged_capacity(n, max_tiles_per_gaussian, num_tiles, chunk))
+    return max(((cap + chunk - 1) // chunk) * chunk, 2 * chunk)
+
+
 def bin_gaussians_sorted(
     rect: jnp.ndarray,
     depth: jnp.ndarray,
@@ -169,6 +192,7 @@ def bin_gaussians_sorted(
     conic=None,
     q_cut=None,
     tile_size: int = 16,
+    pair_capacity: int = 0,
 ) -> SortedBinning:
     """Sort-based binning emitting a chunk-aligned paged layout + ranges
     (for the Pallas path — no (num_tiles, K) materialization).
@@ -177,12 +201,21 @@ def bin_gaussians_sorted(
     backward pass *gathers* per-pair gradients back to original order instead
     of scatter-adding — scatters are an order of magnitude slower than
     gathers on TPU.
+
+    pair_capacity > 0 compacts the paged table to that many slots (see
+    compact_capacity); pairs of tiles that no longer fit are dropped
+    highest-tile-index-first and counted in overflow_capacity, with the true
+    (uncapped) padded demand reported in pairs_demand so a driver can size
+    the next bucket in one jump.
     """
     n = rect.shape[0]
     r_max = max_tiles_per_gaussian
     num_tiles = grid_w * grid_h
     p = n * r_max
-    p_pad = paged_capacity(n, r_max, num_tiles, chunk)
+    if pair_capacity > 0:
+        p_pad = compact_capacity(pair_capacity, n, r_max, num_tiles, chunk)
+    else:
+        p_pad = paged_capacity(n, r_max, num_tiles, chunk)
     tile, overflow_pairs = _expand_pairs(
         rect, valid, grid_w, grid_h, r_max,
         xy=xy, conic=conic, q_cut=q_cut, tile_size=tile_size,
@@ -217,6 +250,23 @@ def bin_gaussians_sorted(
     padded_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
     )
+
+    pairs_demand = (padded_starts[-1] + padded_counts[-1] + chunk).astype(
+        jnp.int32)
+    overflow_capacity = jnp.zeros((), jnp.int32)
+    if pair_capacity > 0:
+        # compact mode: the last chunk is the reserved always-zero target of
+        # culled pairs' backward gather; tiles whose page spills past it are
+        # truncated (allowed is a chunk multiple because content_cap and
+        # every padded start are), and the drops are surfaced through
+        # overflow_capacity so the driver's capacity controller can jump
+        # straight to pairs_demand.
+        content_cap = p_pad - chunk
+        allowed = jnp.maximum(content_cap - padded_starts, 0)
+        new_counts = jnp.minimum(counts, allowed)
+        overflow_capacity = jnp.sum(counts - new_counts)
+        counts = new_counts
+        padded_starts = jnp.minimum(padded_starts, content_cap)
 
     # Per-sorted-position tile tables via segment-delta cumsums — O(P)
     # vectorized, no P-sized gathers or binary searches (those dominate the
@@ -254,6 +304,8 @@ def bin_gaussians_sorted(
         counts=counts,
         overflow_pairs=overflow_pairs,
         overflow_tiles=overflow_tiles,
+        overflow_capacity=overflow_capacity,
+        pairs_demand=pairs_demand,
     )
 
 

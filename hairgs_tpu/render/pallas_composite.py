@@ -220,7 +220,8 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 tfinal_ref, gout_ref, gphoto_ref, gtrans_ref, dgeo_init_hbm,
                 dfeat_init_hbm, dgeo_hbm, dfeat_hbm, geo_buf, feat_buf,
                 dgeo_buf, dfeat_buf, bcarry, bcarry2, sem, osem, *, grid_w,
-                tile_size, chunk, max_chunks, num_channels, tiles_per_step):
+                tile_size, chunk, max_chunks, num_channels, tiles_per_step,
+                with_stats):
     del dgeo_init_hbm, dfeat_init_hbm  # aliased zero-initialized outputs
     pix = tile_size * tile_size
     upper_incl, strict_upper = _triangular(chunk)
@@ -336,23 +337,31 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 )
                 # photometric-only viewspace gradients (densification stats,
                 # reference train.py:173-177 semantics) into the aux rows —
-                # the marginal cost is one extra fdotg/suffix matmul pair
-                fdotg2 = jax.lax.dot_general(
-                    g_photo, feat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                wf2 = w * fdotg2
-                suffix2 = jax.lax.dot_general(
-                    wf2, strict_upper, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                B2 = suffix2 + bcarry2[:]
-                dalpha2 = jnp.where(use, t_excl * fdotg2 - B2 / (1.0 - alpha), 0.0)
-                dpower2 = jnp.where(use, opa * G * dalpha2, 0.0)
-                d_x2 = jnp.sum(dpower2 * (-(a * dx + b * dy)), axis=0,
-                               keepdims=True)
-                d_y2 = jnp.sum(dpower2 * (-(c * dy + b * dx)), axis=0,
-                               keepdims=True)
+                # the marginal cost is one extra fdotg/suffix matmul pair.
+                # Statically gated off once densification stops (reference
+                # stops at 0.9*iters, arguments/__init__.py:103): the stats
+                # are then dead weight in the step's largest phase.
+                if with_stats:
+                    fdotg2 = jax.lax.dot_general(
+                        g_photo, feat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    wf2 = w * fdotg2
+                    suffix2 = jax.lax.dot_general(
+                        wf2, strict_upper, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    B2 = suffix2 + bcarry2[:]
+                    dalpha2 = jnp.where(
+                        use, t_excl * fdotg2 - B2 / (1.0 - alpha), 0.0)
+                    dpower2 = jnp.where(use, opa * G * dalpha2, 0.0)
+                    d_x2 = jnp.sum(dpower2 * (-(a * dx + b * dy)), axis=0,
+                                   keepdims=True)
+                    d_y2 = jnp.sum(dpower2 * (-(c * dy + b * dx)), axis=0,
+                                   keepdims=True)
+                else:
+                    d_x2 = jnp.zeros((1, chunk), jnp.float32)
+                    d_y2 = jnp.zeros((1, chunk), jnp.float32)
 
                 grad_geo = jnp.concatenate(
                     [d_x, d_y, d_a, d_b, d_c, d_opa, d_x2, d_y2], axis=0
@@ -372,7 +381,8 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 g_dma.start()
                 f_dma.start()
                 bcarry[:] += jnp.sum(wf, axis=1, keepdims=True)
-                bcarry2[:] += jnp.sum(wf2, axis=1, keepdims=True)
+                if with_stats:
+                    bcarry2[:] += jnp.sum(wf2, axis=1, keepdims=True)
 
             return 0
 
@@ -397,10 +407,11 @@ def _pad_tiles(starts, counts, nt, tiles_per_step):
     return starts, counts, nt_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                     tile_size, chunk, max_chunks, num_channels, interpret,
-                    tiles_per_step=TILES_PER_STEP):
+                    tiles_per_step=TILES_PER_STEP, with_stats=True):
     """Tile compositing over the chunk-aligned paged pair table.
 
     geo_rows: (8, P_paged) f32 (pack_geo_rows layout, aux slots last);
@@ -516,7 +527,7 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
 
 def _composite_fwd(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                    tile_size, chunk, max_chunks, num_channels, interpret,
-                   tiles_per_step=TILES_PER_STEP):
+                   tiles_per_step=TILES_PER_STEP, with_stats=True):
     out, trans, (tstarts, trans_full) = _forward_pallas(
         geo_rows, feat_rows, starts, counts, grid_w, grid_h, tile_size, chunk,
         max_chunks, num_channels, interpret, tiles_per_step,
@@ -526,7 +537,7 @@ def _composite_fwd(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
 
 
 def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
-                   interpret, tiles_per_step, res, cts):
+                   interpret, tiles_per_step, with_stats, res, cts):
     geo_rows, feat_rows, starts, counts, tstarts, trans_full = res
     g_aux, g_photo, g_trans = cts
     g_out = g_aux + g_photo  # total-loss cotangent
@@ -566,7 +577,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
     kernel = functools.partial(
         _bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels,
-        tiles_per_step=tps,
+        tiles_per_step=tps, with_stats=with_stats,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -52,6 +52,19 @@ class RasterConfig:
     # each Gaussian's screen-space energy (opt-in improvement; the reference
     # composites the dilated covariance uncompensated, forward.cu:110)
     antialiasing: bool = False
+    # compact paged pair table: > 0 sizes the table to this many slots
+    # instead of the n*max_tiles_per_gaussian worst case (6-9x the real
+    # post-cull pair count at hair scale — the round-3 roofline's padding
+    # tax). Tiles that no longer fit are truncated into overflow_tiles, so
+    # drivers must grow the bucket on overflow like the tile budget.
+    # 0 = worst-case sizing (always overflow-free w.r.t. capacity).
+    pair_capacity: int = 0
+    # emit the photometric-only viewspace gradients (densification stats)
+    # into the aux rows of the pallas backward. The stats cost one extra
+    # fdotg/suffix matmul pair per chunk in the step's largest phase; turn
+    # them off once densification stops (the reference stops at 0.9*iters,
+    # arguments/__init__.py:103) — drivers rebuild the step at the boundary.
+    viewspace_stats: bool = True
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -134,6 +147,7 @@ def render(
             xy=jax.lax.stop_gradient(prep.xy),
             conic=jax.lax.stop_gradient(prep.conic), q_cut=q_cut,
             tile_size=ts,
+            pair_capacity=config.pair_capacity,
         )
         # NaN hygiene for inactive rows (mirrors the XLA path's slot zeroing)
         feat_eff = jnp.where(prep.valid[:, None], features, 0.0)
@@ -162,7 +176,7 @@ def render(
         tiles, tiles_photo, trans_tiles = composite_pairs(
             geo_paged.T, feat_paged.T, binning.starts, binning.counts,
             grid_w, grid_h, ts, config.chunk, max_chunks, num_channels,
-            interpret, config.tiles_per_step,
+            interpret, config.tiles_per_step, config.viewspace_stats,
         )
         image_photo = assemble_image(tiles_photo, grid_w, grid_h, ts, height, width)
     else:
@@ -210,6 +224,19 @@ def render(
         "visibility_filter": prep.radius > 0,
         "overflow_pairs": binning.overflow_pairs,
         "overflow_tiles": binning.overflow_tiles,
+        # compact-table diagnostics. overflow_capacity is pallas-only (the
+        # XLA layout has no pair_capacity); pairs_demand is reported on both
+        # paths — on XLA it is the chunk-padded slot count the paged pallas
+        # table WOULD need, so drivers (and the CPU multichip dryrun) see a
+        # live metric regardless of backend.
+        "overflow_capacity": (binning.overflow_capacity
+                              if config.use_pallas else jnp.zeros((), jnp.int32)),
+        "pairs_demand": (binning.pairs_demand if config.use_pallas else
+                         (jnp.sum((jnp.minimum(binning.tile_counts,
+                                               config.max_pairs_per_tile)
+                                   + config.chunk - 1)
+                                  // config.chunk) * config.chunk
+                          + config.chunk).astype(jnp.int32)),
         "tile_counts": (binning.counts if config.use_pallas else binning.tile_counts),
     }
 

@@ -148,6 +148,8 @@ def render_loss_and_grads(render_inputs_fn, params, camera, active, opt_cfg,
             radii=out["radii"],
             overflow_pairs=out["overflow_pairs"],
             overflow_tiles=out["overflow_tiles"],
+            overflow_capacity=out["overflow_capacity"],
+            pairs_demand=out["pairs_demand"],
         )
         # two views of the same render: photometric losses read the second so
         # the pallas dual-cotangent backward can split the viewspace stats
@@ -175,6 +177,8 @@ def render_loss_and_grads(render_inputs_fn, params, camera, active, opt_cfg,
         radii=aux["radii"],
         overflow_pairs=aux["overflow_pairs"],
         overflow_tiles=aux["overflow_tiles"],
+        overflow_capacity=aux["overflow_capacity"],
+        pairs_demand=aux["pairs_demand"],
         image=channels[..., :3],
     )
     return loss, param_grads, offset_grad, aux
@@ -198,6 +202,9 @@ def _per_view(fn, camera):
             radii=auxes["radii"],
             overflow_pairs=jnp.sum(auxes["overflow_pairs"]),
             overflow_tiles=jnp.sum(auxes["overflow_tiles"]),
+            overflow_capacity=jnp.sum(auxes["overflow_capacity"]),
+            # capacity must cover the largest single view
+            pairs_demand=jnp.max(auxes["pairs_demand"]),
             image=auxes["image"][0],
         )
         return loss, grads, offset_grads, aux
@@ -239,7 +246,9 @@ def make_gaussian_train_step(
         metrics = dict(loss=loss, psnr=train_psnr,
                        **{f"loss/{k}": v for k, v in aux["loss_dict"].items()},
                        overflow_pairs=aux["overflow_pairs"],
-                       overflow_tiles=aux["overflow_tiles"])
+                       overflow_tiles=aux["overflow_tiles"],
+                       overflow_capacity=aux["overflow_capacity"],
+                       pairs_demand=aux["pairs_demand"])
         return params, stats, opt_state, metrics, aux["image"]
 
     return step_fn
@@ -316,7 +325,9 @@ def make_hair_train_step(
         metrics = dict(loss=loss, psnr=train_psnr,
                        **{f"loss/{k}": v for k, v in aux["loss_dict"].items()},
                        overflow_pairs=aux["overflow_pairs"],
-                       overflow_tiles=aux["overflow_tiles"])
+                       overflow_tiles=aux["overflow_tiles"],
+                       overflow_capacity=aux["overflow_capacity"],
+                       pairs_demand=aux["pairs_demand"])
         return params, stats, opt_state, metrics, aux["image"]
 
     return step_fn

@@ -261,13 +261,42 @@ def main():
                         help="timestep index within the sequence")
     parser.add_argument("--flame_model_path", required=True)
     parser.add_argument("--flame_mask_path", required=True)
+    # landmark embeddings: accepted for CLI parity with the reference
+    # (parse_nersemble.py:65-104 exposes them to its FLAME constructor);
+    # loaded + validated against the model when given, but — exactly like
+    # the reference, whose parse pipeline never reads the returned
+    # landmarks — they do not change the parsed outputs.
+    parser.add_argument("--static_landmark_embedding_path", default=None)
+    parser.add_argument("--dynamic_landmark_embedding_path", default=None)
+    parser.add_argument("--use_face_contour", action="store_true",
+                        help="include the yaw-indexed face-contour rows "
+                        "when evaluating landmarks")
     parser.add_argument("--num_angles", type=int, default=180)
     args = parser.parse_args()
 
-    from hairgs_tpu.data.flame import load_flame_masks, load_flame_model
+    from hairgs_tpu.data.flame import (
+        load_dynamic_landmark_embedding,
+        load_flame_masks,
+        load_flame_model,
+        load_static_landmark_embedding,
+    )
 
     flame_model = load_flame_model(args.flame_model_path)
     flame_masks = load_flame_masks(args.flame_mask_path)
+    landmark_embedding = None
+    if args.static_landmark_embedding_path:
+        landmark_embedding = load_static_landmark_embedding(
+            args.static_landmark_embedding_path)
+    if args.dynamic_landmark_embedding_path:
+        landmark_embedding = load_dynamic_landmark_embedding(
+            args.dynamic_landmark_embedding_path, landmark_embedding)
+    if landmark_embedding is not None:
+        from hairgs_tpu.data.flame import flame_forward
+
+        _, lmk = flame_forward(
+            flame_model, landmark_embedding=landmark_embedding,
+            use_face_contour=args.use_face_contour)
+        print(f"landmark embedding loaded: {lmk.shape[0]} landmarks")
 
     if args.participant_id is not None:
         ids = [str(args.participant_id).zfill(3)]

@@ -50,6 +50,16 @@ def main():
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--feat_bf16", action="store_true")
     p.add_argument("--tiles_per_step", type=int, default=32)
+    p.add_argument("--pair_capacity", type=int, default=0,
+                   help="compact paged table slots (0 = worst-case sizing); "
+                        "pass the measured pairs_demand to quantify the "
+                        "padding tax")
+    p.add_argument("--no_stats", action="store_true",
+                   help="compile the densification-stats rows out of the "
+                        "backward (viewspace_stats=False)")
+    p.add_argument("--bin_phases", action="store_true",
+                   help="also time binning sub-phases (preprocess / +expand "
+                        "/ +sort / full) — 3 extra compiles")
     p.add_argument("--n_gaussians", type=int, default=100_000)
     p.add_argument("--width", type=int, default=999)
     p.add_argument("--height", type=int, default=1000)
@@ -75,7 +85,9 @@ def main():
     cfg = RasterConfig(max_tiles_per_gaussian=args.max_tiles,
                        max_pairs_per_tile=args.max_pairs, chunk=args.chunk,
                        use_pallas=True, feat_bf16=args.feat_bf16,
-                       tiles_per_step=args.tiles_per_step)
+                       tiles_per_step=args.tiles_per_step,
+                       pair_capacity=args.pair_capacity,
+                       viewspace_stats=not args.no_stats)
     ts = cfg.tile_size
     gw, gh = (width + ts - 1) // ts, (height + ts - 1) // ts
 
@@ -90,8 +102,60 @@ def main():
         b = bin_gaussians_sorted(
             prep.rect, prep.depth, prep.valid, gw, gh,
             cfg.max_tiles_per_gaussian, cfg.max_pairs_per_tile, cfg.chunk,
-            xy=prep.xy, conic=prep.conic, q_cut=q_cut)
-        return (jnp.sum(b.counts), b.overflow_pairs, b.overflow_tiles)
+            xy=prep.xy, conic=prep.conic, q_cut=q_cut,
+            pair_capacity=cfg.pair_capacity)
+        return (jnp.sum(b.counts), b.overflow_pairs, b.overflow_tiles,
+                b.pairs_demand)
+
+    def prep_only(params, cam, jitter):
+        inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+        m3 = inputs["means3d"] + jitter
+        prep = preprocess(m3, inputs["scales"], inputs["rotations"], cam,
+                          width, height, ts, active=model.active,
+                          opacity=inputs["opacity"])
+        return (jnp.sum(prep.rect), jnp.sum(prep.depth),
+                jnp.sum(prep.conic))
+
+    def prep_expand(params, cam, jitter):
+        from hairgs_tpu.render.binning import _expand_pairs
+
+        inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+        m3 = inputs["means3d"] + jitter
+        prep = preprocess(m3, inputs["scales"], inputs["rotations"], cam,
+                          width, height, ts, active=model.active,
+                          opacity=inputs["opacity"])
+        opa_eff = jnp.where(prep.valid, inputs["opacity"], 0.0)
+        q_cut = jnp.log(jnp.maximum(opa_eff, 1e-12) * 255.0)
+        tile, opf = _expand_pairs(prep.rect, prep.valid, gw, gh,
+                                  cfg.max_tiles_per_gaussian, xy=prep.xy,
+                                  conic=prep.conic, q_cut=q_cut,
+                                  tile_size=ts)
+        return jnp.sum(tile), opf
+
+    def prep_expand_sort(params, cam, jitter):
+        from hairgs_tpu.render.binning import _expand_pairs
+
+        inputs = gaussian_render_inputs(params, cam.cam_center, 0)
+        m3 = inputs["means3d"] + jitter
+        prep = preprocess(m3, inputs["scales"], inputs["rotations"], cam,
+                          width, height, ts, active=model.active,
+                          opacity=inputs["opacity"])
+        opa_eff = jnp.where(prep.valid, inputs["opacity"], 0.0)
+        q_cut = jnp.log(jnp.maximum(opa_eff, 1e-12) * 255.0)
+        tile, _ = _expand_pairs(prep.rect, prep.valid, gw, gh,
+                                cfg.max_tiles_per_gaussian, xy=prep.xy,
+                                conic=prep.conic, q_cut=q_cut, tile_size=ts)
+        # same fused int32 key as bin_gaussians_sorted
+        nt = gw * gh
+        depth_bits = max(1, min(23, int(np.floor(np.log2(2**31 / (nt + 1))))))
+        levels = (1 << depth_bits) - 1
+        d = jax.lax.stop_gradient(prep.depth)
+        dq = (jnp.clip(d / (d + 1.0), 0.0, 1.0) * levels).astype(jnp.int32)
+        key = tile * (levels + 1) + dq[:, None]
+        flat_idx = jnp.arange(key.size, dtype=jnp.int32)
+        sorted_key, perm = jax.lax.sort((key.reshape(-1), flat_idx),
+                                        num_keys=1, is_stable=True)
+        return jnp.sum(sorted_key), jnp.sum(perm)
 
     def fwd(params, cam, jitter):
         inputs = gaussian_render_inputs(params, cam.cam_center, 0)
@@ -134,7 +198,17 @@ def main():
     jb = jax.jit(fwd_bwd)
 
     t_prep = timeit(jp, args.iters, [(model.params, cam, j) for j in jits])
-    pairs, opf, otl = jax.device_get(jp(model.params, cam, jits[0]))
+    pairs, opf, otl, demand = jax.device_get(jp(model.params, cam, jits[0]))
+    bin_sub = None
+    if args.bin_phases:
+        argsets = [(model.params, cam, j) for j in jits]
+        t_p0 = timeit(jax.jit(prep_only), args.iters, argsets)
+        t_pe = timeit(jax.jit(prep_expand), args.iters, argsets)
+        t_ps = timeit(jax.jit(prep_expand_sort), args.iters, argsets)
+        bin_sub = {"preprocess": round(t_p0, 2),
+                   "expand_cull": round(t_pe - t_p0, 2),
+                   "sort": round(t_ps - t_pe, 2),
+                   "index_build+gathers": round(t_prep - t_ps, 2)}
     t_fwd = timeit(jf, args.iters, [(model.params, cam, j) for j in jits])
     t_bwd = timeit(jb, args.iters, [(model.params, cam, j) for j in jits])
 
@@ -157,7 +231,15 @@ def main():
     # ---- roofline accounting from actual pair stats
     n = model.capacity
     total_pairs = int(pairs)
-    p_pad = paged_capacity(n, cfg.max_tiles_per_gaussian, gw * gh, cfg.chunk)
+    if cfg.pair_capacity > 0:
+        from hairgs_tpu.render.binning import compact_capacity
+
+        p_pad = compact_capacity(cfg.pair_capacity, n,
+                                 cfg.max_tiles_per_gaussian, gw * gh,
+                                 cfg.chunk)
+    else:
+        p_pad = paged_capacity(n, cfg.max_tiles_per_gaussian, gw * gh,
+                               cfg.chunk)
     geo_b = 8 * 4
     feat_b = 8 * (2 if cfg.feat_bf16 else 4)
     # forward: gather pair rows (read packed + write paged + read in kernel)
@@ -180,9 +262,13 @@ def main():
     out = {
         "config": {"max_tiles": cfg.max_tiles_per_gaussian,
                    "max_pairs": cfg.max_pairs_per_tile,
-                   "chunk": cfg.chunk, "feat_bf16": cfg.feat_bf16},
+                   "chunk": cfg.chunk, "feat_bf16": cfg.feat_bf16,
+                   "pair_capacity": cfg.pair_capacity,
+                   "viewspace_stats": cfg.viewspace_stats},
         "pairs": total_pairs, "pad_slots": p_pad,
+        "pairs_demand": int(demand),
         "overflow": [int(opf), int(otl)],
+        "bin_phases_ms": bin_sub,
         "ms": {"prep+bin": round(t_prep, 2),
                "fwd_total": round(t_fwd, 2),
                "fwd_composite": round(t_fwd - t_prep, 2),

@@ -1,0 +1,44 @@
+#!/bin/sh
+# Round-4 chip campaign (VERDICT r3 items 1, 2, 4): runs unattended under
+# setsid so it survives session death. Order:
+#   0. wait (up to ~4 h) for the TPU backend to come back — it was down at
+#      campaign launch, the same transient outage that cost round 3 its
+#      official artifacts;
+#   1. on-TPU pallas-vs-XLA parity gate (VERDICT #2) -> _runs/perf_r4/parity.txt
+#   2. stage3_corrective polish_postmerge (~40 min validation leg)
+#   3. stage3_corrective full (multi-hour headline leg; target F1(b) > 0.518)
+# Each stage logs under _runs/. A stage that fails does NOT stop the next
+# (the legs are independently useful), except that the whole campaign aborts
+# if the backend never comes up.
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p _runs/perf_r4
+
+# --- 0. wait for backend (probe in subprocesses; JAX caches init failure)
+waited=0
+until timeout 120 python -c "import jax; jax.devices()" > /dev/null 2>&1; do
+  waited=$((waited + 180))
+  if [ "$waited" -gt 14400 ]; then
+    echo "backend never came up after ${waited}s; aborting campaign" \
+      > _runs/perf_r4/campaign_abort.txt
+    exit 1
+  fi
+  sleep 60
+done
+echo "backend up after ~${waited}s of waiting" > _runs/perf_r4/campaign_start.txt
+date >> _runs/perf_r4/campaign_start.txt
+
+# --- 1. parity gate
+python scripts/tpu_parity_check.py > _runs/perf_r4/parity.txt 2>&1
+echo "parity rc=$?" >> _runs/perf_r4/parity.txt
+
+# --- 2. validation polish from the healthy post-merge state
+sh scripts/stage3_corrective.sh polish_postmerge \
+  > _runs/s3_polish_postmerge.log 2>&1
+echo "polish_postmerge rc=$?" >> _runs/s3_polish_postmerge.log
+
+# --- 3. headline corrective leg
+sh scripts/stage3_corrective.sh full > _runs/s3_full.log 2>&1
+echo "full rc=$?" >> _runs/s3_full.log
+
+date > _runs/perf_r4/campaign_done.txt

@@ -47,6 +47,18 @@ SRC=_runs/syn150_512/model
 COMMON="--max_tiles_per_gaussian 64 --freeze_tile_budget \
  --max_pairs_per_tile 2048 --capacity_round 131072 --logger none"
 
+# Compact pair table (round 4): adaptive sizing cuts the 6-9x hair-scale
+# padding tax, but only run it here if the on-TPU parity gate has PASSed
+# with the compact-table bit-identity check; otherwise pin the round-3
+# worst-case sizing (-1) so an unvalidated kernel path can't taint the
+# quality legs.
+if grep -q "^PASS" _runs/perf_r4/parity.txt 2>/dev/null; then
+  COMMON="$COMMON --pair_capacity 0"
+else
+  echo "parity gate not PASSed; using worst-case pair-table sizing"
+  COMMON="$COMMON --pair_capacity -1"
+fi
+
 case "$MODE" in
   polish|polish_aa|polish_postmerge)
     # polish/polish_aa: from the converged (fragmented) 62017 state.

@@ -59,6 +59,41 @@ def main():
     print(f"image max err {img_err:.2e}; loss {float(lp):.4f} vs "
           f"{float(lx):.4f}; grad rel errs "
           + " ".join(f"{k}={v:.1e}" for k, v in grad_errs.items()))
+
+    # compact pair table (RasterConfig.pair_capacity): with ample capacity
+    # the compact layout must reproduce the worst-case table bit-for-bit on
+    # hardware too (the corrective legs run with the adaptive controller on)
+    cfg_c = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                         chunk=128, use_pallas=True,
+                         pair_capacity=512 * 1024)
+    (lc, img_c), gc = jax.value_and_grad(
+        lambda p: loss(p, cfg_c), has_aux=True)(model.params)
+    compact_err = float(jnp.max(jnp.abs(img_c - img_p)))
+    compact_ok = compact_err == 0.0
+    for (k, a), (_, b) in zip(gc._asdict().items(), gp._asdict().items()):
+        if b.size == 0:
+            continue
+        d = float(jnp.max(jnp.abs(a - b)))
+        compact_ok = compact_ok and d == 0.0
+    print(f"compact-table image err {compact_err:.2e} "
+          f"(bit-identity {'ok' if compact_ok else 'VIOLATED'})")
+    ok = ok and compact_ok
+
+    # stats gating (viewspace_stats=False): parameter grads must be
+    # untouched when the densification aux rows are compiled out
+    cfg_ns = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                          chunk=128, use_pallas=True, viewspace_stats=False)
+    _, gns = jax.value_and_grad(
+        lambda p: loss(p, cfg_ns), has_aux=True)(model.params)
+    stats_ok = True
+    for (k, a), (_, b) in zip(gns._asdict().items(), gp._asdict().items()):
+        if b.size == 0:
+            continue
+        d = float(jnp.max(jnp.abs(a - b)))
+        stats_ok = stats_ok and d == 0.0
+    print(f"stats-gating param grads {'identical' if stats_ok else 'DIFFER'}")
+    ok = ok and stats_ok
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -80,6 +80,140 @@ class TestFlame:
         np.testing.assert_allclose(v - m.v_template, [[1, 2, 3]] * 20, atol=1e-5)
 
 
+def tiny_flame_faces(v=20, j=5):
+    """tiny_flame with enough faces for landmark embeddings to index."""
+    m = tiny_flame(v=v, j=j)
+    rng = np.random.default_rng(3)
+    faces = rng.integers(0, v, size=(8, 3))
+    return m._replace(faces=faces.astype(np.int64))
+
+
+class TestFlameLandmarks:
+    """Parity target: reference scene/flame.py:144-304 (static + dynamic
+    landmark embeddings, vertices2landmarks, yaw-indexed contour table)."""
+
+    def _static_embedding(self, n_faces=8, n_lmk=5, seed=7):
+        from hairgs_tpu.data.flame import FlameLandmarkEmbedding
+
+        rng = np.random.default_rng(seed)
+        bary = rng.dirichlet(np.ones(3), size=n_lmk)
+        return FlameLandmarkEmbedding(
+            static_faces=rng.integers(0, n_faces, size=n_lmk).astype(np.int64),
+            static_bary=bary,
+        )
+
+    def test_barycentric_corner_is_vertex(self):
+        from hairgs_tpu.data.flame import FlameLandmarkEmbedding, flame_landmarks
+
+        m = tiny_flame_faces()
+        emb = FlameLandmarkEmbedding(
+            static_faces=np.array([0, 1], np.int64),
+            static_bary=np.array([[1.0, 0, 0], [0, 0, 1.0]]),
+        )
+        lmk = flame_landmarks(m, emb, m.v_template)
+        np.testing.assert_allclose(lmk[0], m.v_template[m.faces[0, 0]],
+                                   atol=1e-6)
+        np.testing.assert_allclose(lmk[1], m.v_template[m.faces[1, 2]],
+                                   atol=1e-6)
+
+    def test_barycentric_mixture(self):
+        from hairgs_tpu.data.flame import flame_landmarks
+
+        m = tiny_flame_faces()
+        emb = self._static_embedding()
+        lmk = flame_landmarks(m, emb, m.v_template)
+        want = np.einsum(
+            "lkc,lk->lc", m.v_template[m.faces[emb.static_faces]],
+            emb.static_bary)
+        np.testing.assert_allclose(lmk, want, atol=1e-6)
+
+    def test_forward_returns_landmarks_and_translates_both(self):
+        m = tiny_flame_faces()
+        emb = self._static_embedding()
+        t = np.array([0.5, -1.0, 2.0])
+        v0, l0 = flame_forward(m, landmark_embedding=emb)
+        v1, l1 = flame_forward(m, landmark_embedding=emb, transl=t)
+        np.testing.assert_allclose(v1 - v0, np.broadcast_to(t, v0.shape),
+                                   atol=1e-5)
+        np.testing.assert_allclose(l1 - l0, np.broadcast_to(t, l0.shape),
+                                   atol=1e-5)
+        assert l0.shape == (5, 3)
+
+    def test_dynamic_contour_row_from_yaw(self):
+        """smplx masking arithmetic: neutral -> row 0; +y global rotation of
+        theta degrees -> negative signed yaw -> row 39 + theta; -y rotation
+        -> row theta; both saturate at +/-39 (rows 78 / 39)."""
+        from hairgs_tpu.data.flame import _dynamic_lmk_index
+
+        m = tiny_flame_faces()
+        j = len(m.parents)
+
+        def pose_with_global_y(deg):
+            full = np.zeros((j, 3))
+            full[0, 1] = np.deg2rad(deg)
+            return full
+
+        assert _dynamic_lmk_index(np.zeros((j, 3)), m.parents) == 0
+        assert _dynamic_lmk_index(pose_with_global_y(10), m.parents) == 49
+        assert _dynamic_lmk_index(pose_with_global_y(-10), m.parents) == 10
+        assert _dynamic_lmk_index(pose_with_global_y(80), m.parents) == 78
+        assert _dynamic_lmk_index(pose_with_global_y(-80), m.parents) == 39
+
+    def test_contour_concatenation_order(self):
+        """Contour landmarks come FIRST, then static (reference forward's
+        torch.cat order, scene/flame.py:286-297)."""
+        from hairgs_tpu.data.flame import flame_landmarks
+
+        m = tiny_flame_faces()
+        emb = self._static_embedding()
+        rng = np.random.default_rng(11)
+        dyn_bary = rng.dirichlet(np.ones(3), size=(79, 4))
+        emb = emb._replace(
+            dynamic_faces=rng.integers(0, 8, size=(79, 4)).astype(np.int64),
+            dynamic_bary=dyn_bary,
+        )
+        j = len(m.parents)
+        lmk = flame_landmarks(m, emb, m.v_template,
+                              full_pose=np.zeros((j, 3)),
+                              use_face_contour=True)
+        assert lmk.shape == (4 + 5, 3)
+        static_only = flame_landmarks(m, emb, m.v_template)
+        np.testing.assert_allclose(lmk[4:], static_only, atol=1e-6)
+
+    def test_embedding_loaders_roundtrip(self, tmp_path):
+        import pickle as pkl
+
+        from hairgs_tpu.data.flame import (
+            load_dynamic_landmark_embedding,
+            load_static_landmark_embedding,
+        )
+
+        rng = np.random.default_rng(13)
+        static = {
+            "lmk_face_idx": rng.integers(0, 8, size=51),
+            "lmk_b_coords": rng.dirichlet(np.ones(3), size=51),
+        }
+        sp = tmp_path / "flame_static_embedding.pkl"
+        with open(sp, "wb") as f:
+            pkl.dump(static, f)
+        dyn = {
+            "lmk_face_idx": [rng.integers(0, 8, size=17) for _ in range(79)],
+            "lmk_b_coords": [rng.dirichlet(np.ones(3), size=17)
+                             for _ in range(79)],
+        }
+        dp = tmp_path / "flame_dynamic_embedding.npy"
+        np.save(dp, np.array(dyn, dtype=object), allow_pickle=True)
+
+        emb = load_static_landmark_embedding(str(sp))
+        assert emb.static_faces.shape == (51,)
+        np.testing.assert_allclose(emb.static_bary.sum(axis=1), 1.0,
+                                   atol=1e-9)
+        emb = load_dynamic_landmark_embedding(str(dp), emb)
+        assert emb.dynamic_faces.shape == (79, 17)
+        assert emb.dynamic_bary.shape == (79, 17, 3)
+        assert emb.static_faces.shape == (51,)  # merge preserved static
+
+
 class TestHeadObj:
     def test_load_obj_and_normals(self, tmp_path):
         p = tmp_path / "head.obj"

@@ -48,7 +48,14 @@ def _write_flame_assets(root):
     mask_path = os.path.join(root, "FLAME_masks.pkl")
     with open(mask_path, "wb") as f:
         pickle.dump({"scalp": np.array([1, 4, 7, 9])}, f)
-    return model_path, mask_path
+    # static landmark embedding (faces index into model["f"]'s 2 faces)
+    lmk_path = os.path.join(root, "flame_static_embedding.pkl")
+    with open(lmk_path, "wb") as f:
+        pickle.dump({
+            "lmk_face_idx": rng.integers(0, 2, size=51),
+            "lmk_b_coords": rng.dirichlet(np.ones(3), size=51),
+        }, f)
+    return model_path, mask_path, lmk_path
 
 
 def _write_capture(root, pid="017"):
@@ -107,12 +114,13 @@ def _write_capture(root, pid="017"):
 def parsed(tmp_path_factory):
     raw = tmp_path_factory.mktemp("raw")
     out = tmp_path_factory.mktemp("parsed")
-    model_path, mask_path = _write_flame_assets(str(raw))
+    model_path, mask_path, lmk_path = _write_flame_assets(str(raw))
     seg, alpha = _write_capture(str(raw))
     argv = sys.argv
     sys.argv = ["parse_nersemble.py", "-r", str(raw), "-o", str(out),
                 "-i", "17", "--flame_model_path", model_path,
-                "--flame_mask_path", mask_path, "--num_angles", "12"]
+                "--flame_mask_path", mask_path, "--num_angles", "12",
+                "--static_landmark_embedding_path", lmk_path]
     try:
         runpy.run_path(SCRIPT, run_name="__main__")
     finally:

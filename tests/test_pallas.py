@@ -189,3 +189,94 @@ class TestPallasBackward:
                 np.asarray(gp), np.asarray(gx), atol=2e-3 * scale, rtol=2e-3,
                 err_msg=f"AA gradient mismatch for {name}",
             )
+
+
+class TestStatsGating:
+    """RasterConfig.viewspace_stats=False compiles the densification-stats
+    rows out of the pallas backward without touching parameter gradients."""
+
+    def test_param_grads_identical_aux_zero(self):
+        scene = make_scene(n=40)
+        cam, (means, scales, q, opacity, features) = scene
+        on = PL_CFG
+        off = dataclasses.replace(PL_CFG, viewspace_stats=False)
+        offset = jnp.zeros((40, 2), jnp.float32)
+
+        def loss(cfg, s, off2d):
+            out = render(cam, means3d=means, scales=s, rotations=q,
+                         opacity=opacity, features=features,
+                         mean2d_offset=off2d,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            # photometric losses read render_photo (dual-cotangent split)
+            return (jnp.sum(out["render_photo"] ** 2)
+                    + jnp.sum(out["final_T"]))
+
+        g_on = jax.grad(loss, argnums=(1, 2))(on, scales, offset)
+        g_off = jax.grad(loss, argnums=(1, 2))(off, scales, offset)
+        np.testing.assert_array_equal(np.asarray(g_off[0]),
+                                      np.asarray(g_on[0]))
+        # stats consumers are off: the aux-row viewspace grads must be zero
+        assert float(jnp.max(jnp.abs(g_on[1]))) > 0
+        np.testing.assert_array_equal(np.asarray(g_off[1]),
+                                      np.zeros_like(np.asarray(g_off[1])))
+
+
+class TestPairCapacity:
+    """Compact paged pair table (RasterConfig.pair_capacity)."""
+
+    def test_ample_capacity_bit_identical(self):
+        """With capacity >= true demand the compact table must reproduce the
+        worst-case table exactly (forward AND gradients)."""
+        scene = make_scene(n=50)
+        cam, (means, scales, q, opacity, features) = scene
+        big = dataclasses.replace(PL_CFG)
+        small = dataclasses.replace(PL_CFG, pair_capacity=8192)
+
+        def loss(cfg, s):
+            out = render(cam, means3d=means, scales=s, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(out["render"] ** 2), out
+
+        (l_b, out_b), g_b = jax.value_and_grad(
+            lambda s: loss(big, s), has_aux=True)(scales)
+        (l_s, out_s), g_s = jax.value_and_grad(
+            lambda s: loss(small, s), has_aux=True)(scales)
+        assert int(out_s["overflow_tiles"]) == int(out_b["overflow_tiles"])
+        np.testing.assert_array_equal(np.asarray(out_s["render"]),
+                                      np.asarray(out_b["render"]))
+        np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_b))
+
+    def test_tight_capacity_truncates_and_counts(self):
+        """A deliberately tiny capacity must truncate (counts sum bounded by
+        the content cap) and surface the drops in overflow_tiles."""
+        from hairgs_tpu.render.binning import compact_capacity
+
+        scene = make_scene(n=60)
+        cam, (means, scales, q, opacity, features) = scene
+        cap = 4 * PL_CFG.chunk  # tiny: 3 content chunks + spare
+        cfg = dataclasses.replace(PL_CFG, pair_capacity=cap)
+        out = render(cam, means3d=means, scales=scales, rotations=q,
+                     opacity=opacity, features=features,
+                     width=WIDTH, height=HEIGHT, config=cfg)
+        out_big = render(cam, means3d=means, scales=scales, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=PL_CFG)
+        assert int(jnp.sum(out["tile_counts"])) <= cap - PL_CFG.chunk
+        dropped = (int(jnp.sum(out_big["tile_counts"]))
+                   - int(jnp.sum(out["tile_counts"])))
+        assert dropped > 0
+        assert int(out["overflow_capacity"]) == dropped
+        assert int(out_big["overflow_capacity"]) == 0
+        # demand is capacity-independent and covers the big table's content
+        assert (int(out["pairs_demand"]) == int(out_big["pairs_demand"])
+                >= int(jnp.sum(out_big["tile_counts"])))
+        # gradients stay finite under truncation
+        def loss(s):
+            o = render(cam, means3d=means, scales=s, rotations=q,
+                       opacity=opacity, features=features,
+                       width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(o["render"] ** 2)
+        g = jax.grad(loss)(scales)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert compact_capacity(cap, 60, 16, 12, 16) == cap

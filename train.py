@@ -68,6 +68,46 @@ class TileBudgetController:
         return None
 
 
+class PairCapacityController:
+    """Adaptive compact pair-table sizing (RasterConfig.pair_capacity).
+
+    The paged pair table's worst-case size (n * max_tiles_per_gaussian) is
+    6-9x the post-cull real pair count at hair scale, and every downstream
+    buffer pays that padding in HBM traffic. The renderer reports the
+    chunk-padded demand each sync, so this controller can jump straight to
+    the right bucket: grow immediately on any capacity truncation
+    (correctness: truncated pairs get no gradient), shrink only after
+    `shrink_after` consecutive syncs of <50% occupancy (every change
+    recompiles the step — minutes on the remote compile helper).
+    """
+
+    def __init__(self, granule, headroom=1.25, shrink_after=50):
+        self.granule = granule
+        self.headroom = headroom
+        self.shrink_after = shrink_after
+        self.low_syncs = 0
+
+    def bucket(self, demand):
+        want = int(demand * self.headroom)
+        return ((want + self.granule - 1) // self.granule) * self.granule
+
+    def update(self, overflow_capacity, pairs_demand, capacity):
+        """Returns the new capacity, or None when no change is needed."""
+        if overflow_capacity > 0:
+            self.low_syncs = 0
+            return max(self.bucket(pairs_demand), capacity + self.granule)
+        if pairs_demand < 0.5 * capacity:
+            self.low_syncs += 1
+            if self.low_syncs >= self.shrink_after:
+                self.low_syncs = 0
+                new = self.bucket(pairs_demand)
+                if new < capacity - self.granule:
+                    return new
+        else:
+            self.low_syncs = 0
+        return None
+
+
 def prepare_output_path(args):
     """utils/system.py:41-54 — default ./output/<uuid>, persist cfg_args."""
     if not args.model_path:
@@ -113,7 +153,27 @@ def training(mp, op, gp, rt, args):
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
 
-    def make_raster_cfg(max_tiles):
+    num_tiles = (((width + 15) // 16) * ((height + 15) // 16))
+    cap_ctl = PairCapacityController(rt.pair_capacity_round)
+    # densification stats (the dual-cotangent aux rows) cost two extra
+    # matmuls per chunk in the pallas backward — the step's largest phase.
+    # They are only consumed by densification events, so they are compiled
+    # out whenever the densify window is closed (incl. polish legs that run
+    # with --densify_until_iter 0).
+    stats_enabled = op.densify_until_iter > 1
+
+    def initial_pair_capacity():
+        if rt.pair_capacity < 0:
+            return 0  # worst-case n*max_tiles sizing, never truncates
+        if rt.pair_capacity > 0:
+            return rt.pair_capacity
+        # adaptive start: ~3 surviving tiles/prim + the per-tile chunk pad
+        # floor; the controller re-buckets from measured demand after the
+        # first sync
+        est = 3 * model.capacity + (num_tiles + 1) * rt.composite_chunk
+        return cap_ctl.bucket(est / cap_ctl.headroom)
+
+    def make_raster_cfg(max_tiles, pair_cap=None):
         pallas_on = bool(use_pallas) and use_pallas != "false"
         if pallas_on and jax.default_backend() == "tpu":
             # fail at startup, not after the 5-10 min scene load + compile:
@@ -130,6 +190,12 @@ def training(mp, op, gp, rt, args):
             use_pallas=pallas_on,
             feat_bf16=rt.feat_bf16,
             antialiasing=rt.antialiasing,
+            viewspace_stats=stats_enabled,
+            # compact tables only exist on the paged pallas layout; the XLA
+            # path ignores them, and a positive value there would only feed
+            # the capacity controller zeros and trigger a pointless recompile
+            pair_capacity=((initial_pair_capacity() if pallas_on else 0)
+                           if pair_cap is None else pair_cap),
         )
 
     raster_cfg = make_raster_cfg(rt.max_tiles_per_gaussian)
@@ -431,6 +497,19 @@ def training(mp, op, gp, rt, args):
             model.oneup_sh_degree()
             step_fn = build_step()
 
+        # drop the densification-stats rows from the pallas backward once
+        # the densify window closes (one recompile; stats are dead weight
+        # afterwards — no cadence event reads them past densify_until_iter)
+        if (stats_enabled and raster_cfg.use_pallas
+                and iteration >= op.densify_until_iter):
+            stats_enabled = False
+            raster_cfg = make_raster_cfg(raster_cfg.max_tiles_per_gaussian,
+                                         raster_cfg.pair_capacity)
+            step_fn = build_step()
+            if not gp.quiet:
+                print(f"[raster] iter {iteration}: densify window closed — "
+                      "dropping viewspace-stats rows from the backward")
+
         cams_step = []
         for _ in range(view_batch):
             if not viewpoint_stack:
@@ -500,18 +579,38 @@ def training(mp, op, gp, rt, args):
                         else "shrinking")
                 print(f"[raster] iter {iteration}: {overflow_pairs} truncated "
                       f"pairs — {verb} max_tiles_per_gaussian to {new_budget}")
-                raster_cfg = make_raster_cfg(new_budget)
+                raster_cfg = make_raster_cfg(new_budget,
+                                             raster_cfg.pair_capacity)
                 step_fn = build_step()
                 # persist the converged budget so a resumed run compiles once
                 # instead of re-walking the 16->32->64 ladder (each recompile
                 # costs minutes on the remote-compile TPU helper)
                 args.max_tiles_per_gaussian = new_budget
                 save_cfg_args(args.model_path, args)
+            # compact pair-table capacity: grow immediately on truncation,
+            # shrink on sustained low occupancy (see PairCapacityController)
+            if (rt.pair_capacity == 0 and raster_cfg.pair_capacity > 0
+                    and raster_cfg.use_pallas):
+                overflow_cap = int(m.get("overflow_capacity", 0))
+                demand = int(m.get("pairs_demand", 0))
+                new_cap = cap_ctl.update(overflow_cap, demand,
+                                         raster_cfg.pair_capacity)
+                if new_cap is not None:
+                    verb = "raising" if new_cap > raster_cfg.pair_capacity \
+                        else "shrinking"
+                    print(f"[raster] iter {iteration}: pair demand {demand} "
+                          f"(capacity-truncated {overflow_cap}) — {verb} "
+                          f"pair_capacity to {new_cap}")
+                    raster_cfg = make_raster_cfg(
+                        raster_cfg.max_tiles_per_gaussian, new_cap)
+                    step_fn = build_step()
             overflow_tiles = int(m["overflow_tiles"])
-            overflow = overflow_tiles + overflow_pairs
+            overflow_cap_n = int(m.get("overflow_capacity", 0))
+            overflow = overflow_tiles + overflow_pairs + overflow_cap_n
             if overflow and not gp.quiet:
                 print(f"[warn] iter {iteration}: {overflow} binning overflows "
-                      f"({overflow_pairs} pair-budget, {overflow_tiles} tile-cap)")
+                      f"({overflow_pairs} pair-budget, {overflow_tiles} "
+                      f"tile-cap, {overflow_cap_n} capacity)")
             if not gp.quiet and crossed(100):
                 print(f"iter {iteration:6d}  loss {ema_loss:.5f}  "
                       f"psnr {info.train_psnr:.2f}  "
