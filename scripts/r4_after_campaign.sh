@@ -1,0 +1,33 @@
+#!/bin/sh
+# Round-4 post-campaign chip work, in priority order. Launch ONLY when the
+# stage-3 campaign is done (campaign_done.txt) or aborted — these need a
+# solo chip for valid timings.
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p _runs/perf_r4
+
+# 1. solo perf A/Bs: compact table + stats gating + binning sub-phases
+sh scripts/solo_perf_r4.sh > _runs/perf_r4/solo_suite.log 2>&1
+echo "solo_perf rc=$?" >> _runs/perf_r4/solo_suite.log
+
+# 2. async-topology sustained-rate A/B (VERDICT r3 #4; self-contained)
+sh scripts/topo_async_ab.sh > _runs/perf_r4/topo_ab.log 2>&1
+echo "topo_ab rc=$?" >> _runs/perf_r4/topo_ab.log
+
+# 3. AA Stage-I probe (VERDICT r3 #6): 800-iter legs with/without
+#    --antialiasing on the 512^2 scene; compare masked-PSNR (the
+#    thin-strand darkness is rooted in Stage I).
+DATA=_runs/syn150_512/data
+for AA in off on; do
+  OUT=_runs/s1_aa_$AA
+  rm -rf "$OUT"
+  EXTRA=""
+  [ "$AA" = on ] && EXTRA="--antialiasing"
+  python train.py -s "$DATA" -m "$OUT" $EXTRA --logger none \
+    --iterations 800 --position_lr_max_steps 30000 \
+    --save_frequency 800 --eval_frequency 400 \
+    > _runs/perf_r4/s1_aa_$AA.log 2>&1
+  echo "aa_$AA rc=$?" >> _runs/perf_r4/s1_aa_$AA.log
+done
+
+date > _runs/perf_r4/after_campaign_done.txt
