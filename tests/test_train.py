@@ -293,6 +293,47 @@ class TestTileBudgetController:
         assert ctl.update(0, 1000, 32) == 16
 
 
+class TestPairCapacityController:
+    """Adaptive compact pair-table sizing (train.PairCapacityController)."""
+
+    def _ctl(self, granule=1024, shrink_after=5):
+        from train import PairCapacityController
+
+        return PairCapacityController(granule, shrink_after=shrink_after)
+
+    def test_grows_immediately_on_truncation(self):
+        ctl = self._ctl()
+        # jumps straight to the bucketed demand (headroom 1.25), at least
+        # one granule above the current capacity
+        new = ctl.update(overflow_capacity=5, pairs_demand=10000,
+                         capacity=8192)
+        assert new == 13312  # ceil(10000*1.25 / 1024) * 1024
+        # even when demand is stale/low, growth is at least one granule
+        assert ctl.update(1, 100, 8192) == 8192 + 1024
+
+    def test_shrinks_only_after_streak(self):
+        ctl = self._ctl(shrink_after=3)
+        for _ in range(2):
+            assert ctl.update(0, 1000, 8192) is None
+        assert ctl.update(0, 1000, 8192) == 2048  # ceil(1250/1024)*1024
+        # well-occupied tables never shrink
+        for _ in range(10):
+            assert ctl.update(0, 5000, 8192) is None
+
+    def test_occupancy_resets_streak(self):
+        ctl = self._ctl(shrink_after=3)
+        assert ctl.update(0, 1000, 8192) is None
+        assert ctl.update(0, 6000, 8192) is None  # >50%: streak resets
+        assert ctl.update(0, 1000, 8192) is None
+        assert ctl.update(0, 1000, 8192) is None
+        assert ctl.update(0, 1000, 8192) == 2048
+
+    def test_no_thrash_within_one_granule(self):
+        ctl = self._ctl(shrink_after=1)
+        # new bucket within one granule of current capacity: keep it
+        assert ctl.update(0, 1500, 3072) is None
+
+
 class TestPSNR:
     def test_known_value(self):
         from hairgs_tpu.losses.photometric import psnr
