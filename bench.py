@@ -168,6 +168,8 @@ def main():
     parser.add_argument("--no_stats", action="store_true",
                         help="compile densification-stats rows out of the "
                              "backward (post-densify regime)")
+    parser.add_argument("--sort_mode", default="lex",
+                        choices=["lex", "bucket"])
     parser.add_argument("--n_cams", type=int, default=4,
                         help="viewpoints rotated through the timed loop "
                              "(1 reproduces the round-2 fixed-camera "
@@ -182,7 +184,8 @@ def main():
                        feat_bf16=args.feat_bf16,
                        tiles_per_step=args.tiles_per_step,
                        pair_capacity=args.pair_capacity,
-                       viewspace_stats=not args.no_stats)
+                       viewspace_stats=not args.no_stats,
+                       sort_mode=args.sort_mode)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 

@@ -98,6 +98,9 @@ class RuntimeConfig:
     # behavior: 6-9x padding at hair scale but never capacity-truncates);
     # >0 = fixed slot count (rounded up to the chunk)
     pair_capacity_round: int = 131072  # adaptive pair-capacity bucket granule
+    sort_mode: str = "lex"  # pair ordering machinery: "lex" (monolithic
+    # lexicographic sort) | "bucket" (depth-presort + blockwise tile
+    # buckets, bit-identical outputs with ~4x less sort work)
     capacity_round: int = 4096
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
     feat_bf16: bool = False  # bf16 feature plane in the pair table (~4% step

@@ -57,6 +57,7 @@ def main():
     p.add_argument("--no_stats", action="store_true",
                    help="compile the densification-stats rows out of the "
                         "backward (viewspace_stats=False)")
+    p.add_argument("--sort_mode", default="lex", choices=["lex", "bucket"])
     p.add_argument("--bin_phases", action="store_true",
                    help="also time binning sub-phases (preprocess / +expand "
                         "/ +sort / full) — 3 extra compiles")
@@ -87,7 +88,8 @@ def main():
                        use_pallas=True, feat_bf16=args.feat_bf16,
                        tiles_per_step=args.tiles_per_step,
                        pair_capacity=args.pair_capacity,
-                       viewspace_stats=not args.no_stats)
+                       viewspace_stats=not args.no_stats,
+                       sort_mode=args.sort_mode)
     ts = cfg.tile_size
     gw, gh = (width + ts - 1) // ts, (height + ts - 1) // ts
 
@@ -103,7 +105,7 @@ def main():
             prep.rect, prep.depth, prep.valid, gw, gh,
             cfg.max_tiles_per_gaussian, cfg.max_pairs_per_tile, cfg.chunk,
             xy=prep.xy, conic=prep.conic, q_cut=q_cut,
-            pair_capacity=cfg.pair_capacity)
+            pair_capacity=cfg.pair_capacity, sort_mode=cfg.sort_mode)
         return (jnp.sum(b.counts), b.overflow_pairs, b.overflow_tiles,
                 b.pairs_demand)
 

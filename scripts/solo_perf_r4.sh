@@ -23,6 +23,10 @@ echo "=== bench r16/f32 + compact + no stats (post-densify regime) ==="
 python bench.py --pair_capacity 786432 --no_stats \
   | tee "$OUT/bench_compact_nostats.json"
 
+echo "=== bench r16/f32 + compact + bucket sort ==="
+python bench.py --pair_capacity 786432 --sort_mode bucket \
+  | tee "$OUT/bench_compact_bucket.json"
+
 echo "=== breakdown bench scale, worst-case + binning sub-phases ==="
 python scripts/phase_breakdown.py --iters 10 --bin_phases \
   | tee "$OUT/breakdown_bench.json"
@@ -47,5 +51,11 @@ python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
   --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
   --aniso --scale_lo 3e-4 --pair_capacity 917504 --no_stats \
   | tee "$OUT/breakdown_hair_compact_nostats.json"
+
+echo "=== breakdown hair scale, compact + bucket sort ==="
+python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
+  --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
+  --aniso --scale_lo 3e-4 --pair_capacity 917504 --sort_mode bucket \
+  | tee "$OUT/breakdown_hair_compact_bucket.json"
 
 echo "=== DONE ==="

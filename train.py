@@ -191,6 +191,7 @@ def training(mp, op, gp, rt, args):
             feat_bf16=rt.feat_bf16,
             antialiasing=rt.antialiasing,
             viewspace_stats=stats_enabled,
+            sort_mode=rt.sort_mode,
             # compact tables only exist on the paged pallas layout; the XLA
             # path ignores them, and a positive value there would only feed
             # the capacity controller zeros and trigger a pointless recompile
