@@ -170,6 +170,9 @@ def main():
                              "backward (post-densify regime)")
     parser.add_argument("--sort_mode", default="lex",
                         choices=["lex", "bucket"])
+    parser.add_argument("--dma_lookahead", action="store_true",
+                        help="cross-tile DMA prefetch in the compositor "
+                             "kernels (bit-identical scheduling change)")
     parser.add_argument("--n_cams", type=int, default=4,
                         help="viewpoints rotated through the timed loop "
                              "(1 reproduces the round-2 fixed-camera "
@@ -185,7 +188,8 @@ def main():
                        tiles_per_step=args.tiles_per_step,
                        pair_capacity=args.pair_capacity,
                        viewspace_stats=not args.no_stats,
-                       sort_mode=args.sort_mode)
+                       sort_mode=args.sort_mode,
+                       dma_lookahead=args.dma_lookahead)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 

@@ -113,74 +113,91 @@ def _pixel_coords(t, grid_w, tile_size, pix):
 def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 tstarts_ref, geo_buf, feat_buf, accum, trans, done, sem,
                 *, grid_w, tile_size, chunk, max_chunks, num_channels,
-                tiles_per_step):
+                tiles_per_step, lookahead):
     pix = tile_size * tile_size
     upper_incl, _ = _triangular(chunk)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    # K-deep prefetch window into per-chunk slots: per-chunk transfers are
+    # only a few KB, so the serialized start->wait->start chain of a classic
+    # 2-slot double buffer was latency-bound; a deeper window keeps copies
+    # in flight while PRESERVING the early-exit gating (a saturating tile
+    # stops issuing, bounding its HBM reads to the saturation chunk + K
+    # instead of the whole page). done[bank, 1] counts issued DMAs so every
+    # one is awaited.
+    window = min(4, max_chunks)
+    nbanks = 2 if lookahead else 1
+
+    def geo_dma(bank, start, j):
+        offset = pl.multiple_of(start + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[bank, j],
+            sem.at[bank, j, 0],
+        )
+
+    def feat_dma(bank, start, j):
+        offset = pl.multiple_of(start + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[bank, j],
+            sem.at[bank, j, 1],
+        )
+
+    def issue_first_window(bank, t):
+        """Issue tile t's first prefetch window into `bank`; returns the
+        issued count for done[bank, 1]."""
+        start = starts_ref[t]
+        first = jnp.minimum(pl.cdiv(counts_ref[t], chunk), window)
+
+        def issue(j, _):
+            geo_dma(bank, start, j).start()
+            feat_dma(bank, start, j).start()
+            return 0
+
+        jax.lax.fori_loop(0, first, issue, 0)
+        return first
 
     for t_local in range(tiles_per_step):
+        bank = t_local % nbanks
         t = pl.program_id(0) * tiles_per_step + t_local
         start = starts_ref[t]
         count = counts_ref[t]
         px, py = _pixel_coords(t, grid_w, tile_size, pix)
 
+        if not lookahead or t_local == 0:
+            done[bank, 1] = issue_first_window(bank, t)
+        # cross-tile lookahead: the next tile's first window goes out on the
+        # alternate bank BEFORE this tile's compute, hiding the DMA-latency
+        # bubble that otherwise opens at every tile switch (tiles average
+        # only 1-2 chunks at bench scale, so the bubble dominated).
+        if lookahead and t_local + 1 < tiles_per_step:
+            done[1 - bank, 1] = issue_first_window(1 - bank, t + 1)
+
         accum[:] = jnp.zeros((num_channels, pix), jnp.float32)
         trans[:] = jnp.ones((pix, 1), jnp.float32)
-        done[0] = 0
+        done[bank, 0] = 0
         nchunks = pl.cdiv(count, chunk)
 
-        def geo_dma(j):
-            offset = pl.multiple_of(start + j * chunk, chunk)
-            return pltpu.make_async_copy(
-                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[j],
-                sem.at[j, 0],
-            )
-
-        def feat_dma(j):
-            offset = pl.multiple_of(start + j * chunk, chunk)
-            return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[j],
-                sem.at[j, 1],
-            )
-
-        # K-deep prefetch window into per-chunk slots: per-chunk transfers
-        # are only a few KB, so the serialized start->wait->start chain of a
-        # classic 2-slot double buffer was latency-bound; a deeper window
-        # keeps copies in flight while PRESERVING the early-exit gating (a
-        # saturating tile stops issuing, bounding its HBM reads to the
-        # saturation chunk + K instead of the whole page). done[1] counts
-        # issued DMAs so every one is awaited.
-        window = min(4, max_chunks)
-
-        def issue(j, _):
-            geo_dma(j).start()
-            feat_dma(j).start()
-            return 0
-
-        first = jnp.minimum(nchunks, window)
-        jax.lax.fori_loop(0, first, issue, 0)
-        done[1] = first
-
-        def body(j, _, nchunks=nchunks, count=count, t_local=t_local):
+        def body(j, _, nchunks=nchunks, count=count, t_local=t_local,
+                 bank=bank, start=start):
             # record chunk-start transmittance for the backward pass (always,
             # so post-early-exit chunks see the saturated value and go dead)
             tstarts_ref[t_local * max_chunks + j, :] = trans[:, 0]
 
-            @pl.when(j < done[1])
+            @pl.when(j < done[bank, 1])
             def _():
-                geo_dma(j).wait()
-                feat_dma(j).wait()
+                geo_dma(bank, start, j).wait()
+                feat_dma(bank, start, j).wait()
 
-            @pl.when((j + window < nchunks) & (done[0] == 0))
+            @pl.when((j + window < nchunks) & (done[bank, 0] == 0))
             def _():
-                issue(j + window, 0)
-                done[1] = j + window + 1
+                geo_dma(bank, start, j + window).start()
+                feat_dma(bank, start, j + window).start()
+                done[bank, 1] = j + window + 1
 
-            @pl.when((done[0] == 0) & (j < done[1]))
+            @pl.when((done[bank, 0] == 0) & (j < done[bank, 1]))
             def _():
                 kmask = (j * chunk + k_iota) < count
                 alpha, _, _, _, _, feat, _ = _chunk_quantities(
-                    geo_buf.at[j], feat_buf.at[j], px, py, kmask,
+                    geo_buf.at[bank, j], feat_buf.at[bank, j], px, py, kmask,
                     num_channels,
                 )
                 l = jnp.log1p(-alpha)
@@ -204,7 +221,7 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                     jnp.sum(jnp.where(live, l, 0.0), axis=1, keepdims=True)
                 )
                 trans[:] = new_trans
-                done[0] = jnp.where(jnp.max(new_trans) < T_EPS, 1, 0)
+                done[bank, 0] = jnp.where(jnp.max(new_trans) < T_EPS, 1, 0)
 
             return 0
 
@@ -221,13 +238,43 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 dfeat_init_hbm, dgeo_hbm, dfeat_hbm, geo_buf, feat_buf,
                 dgeo_buf, dfeat_buf, bcarry, bcarry2, sem, osem, *, grid_w,
                 tile_size, chunk, max_chunks, num_channels, tiles_per_step,
-                with_stats):
+                with_stats, lookahead):
     del dgeo_init_hbm, dfeat_init_hbm  # aliased zero-initialized outputs
     pix = tile_size * tile_size
     upper_incl, strict_upper = _triangular(chunk)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    nbanks = 2 if lookahead else 1
+
+    def geo_dma(bank, start, j):
+        offset = pl.multiple_of(start + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[bank, j],
+            sem.at[bank, j, 0],
+        )
+
+    def feat_dma(bank, start, j):
+        offset = pl.multiple_of(start + j * chunk, chunk)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[bank, j],
+            sem.at[bank, j, 1],
+        )
+
+    def issue_all(bank, t):
+        """All of tile t's input DMAs, in DESCENDING chunk order — the
+        backward consumes chunks back-to-front, so the first-needed copy
+        must lead the issue chain."""
+        start = starts_ref[t]
+        nchunks = pl.cdiv(counts_ref[t], chunk)
+
+        def issue(i, _):
+            geo_dma(bank, start, nchunks - 1 - i).start()
+            feat_dma(bank, start, nchunks - 1 - i).start()
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, issue, 0)
 
     for t_local in range(tiles_per_step):
+        bank = t_local % nbanks
         t = pl.program_id(0) * tiles_per_step + t_local
         start = starts_ref[t]
         count = counts_ref[t]
@@ -244,21 +291,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
         g_photo = gphoto_ref[:, pl.ds(t_local * pix, pix)]  # (C, PIX) photo only
         nchunks = pl.cdiv(count, chunk)
 
-        def geo_dma(j):
-            offset = pl.multiple_of(start + j * chunk, chunk)
-            return pltpu.make_async_copy(
-                geo_hbm.at[:, pl.ds(offset, chunk)], geo_buf.at[j],
-                sem.at[j, 0],
-            )
-
-        def feat_dma(j):
-            offset = pl.multiple_of(start + j * chunk, chunk)
-            return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(offset, chunk)], feat_buf.at[j],
-                sem.at[j, 1],
-            )
-
-        def store_dma(j):
+        def store_dma(j, start=start):
             offset = pl.multiple_of(start + j * chunk, chunk)
             return (
                 pltpu.make_async_copy(
@@ -272,26 +305,26 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
             )
 
         # all input DMAs in flight up front (per-chunk slots — see forward);
-        # stores get their own per-chunk slots, drained at tile end
-        def issue(j, _):
-            geo_dma(j).start()
-            feat_dma(j).start()
-            return 0
-
-        jax.lax.fori_loop(0, nchunks, issue, 0)
+        # stores get their own per-chunk slots, drained at tile end. With
+        # lookahead the NEXT tile's inputs go out on the alternate bank
+        # before this tile's compute, hiding the tile-switch bubble.
+        if not lookahead or t_local == 0:
+            issue_all(bank, t)
+        if lookahead and t_local + 1 < tiles_per_step:
+            issue_all(1 - bank, t + 1)
 
         def body(i, _, nchunks=nchunks, count=count, t_local=t_local,
-                 g_out=g_out, g_photo=g_photo):
+                 g_out=g_out, g_photo=g_photo, bank=bank, start=start):
             j = nchunks - 1 - i
 
             @pl.when(j >= 0)
             def _():
-                geo_dma(j).wait()
-                feat_dma(j).wait()
+                geo_dma(bank, start, j).wait()
+                feat_dma(bank, start, j).wait()
 
                 kmask = (j * chunk + k_iota) < count
                 alpha, G, ok, dx, dy, feat, opa = _chunk_quantities(
-                    geo_buf.at[j], feat_buf.at[j], px, py, kmask,
+                    geo_buf.at[bank, j], feat_buf.at[bank, j], px, py, kmask,
                     num_channels,
                 )
                 l = jnp.log1p(-alpha)
@@ -322,9 +355,9 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 d_opa = jnp.sum(jnp.where(use, G * dalpha, 0.0), axis=0,
                                 keepdims=True)
                 dpower = jnp.where(use, opa * G * dalpha, 0.0)
-                a = geo_buf[j, 2:3, :]
-                b = geo_buf[j, 3:4, :]
-                c = geo_buf[j, 4:5, :]
+                a = geo_buf[bank, j, 2:3, :]
+                b = geo_buf[bank, j, 3:4, :]
+                c = geo_buf[bank, j, 4:5, :]
                 d_x = jnp.sum(dpower * (-(a * dx + b * dy)), axis=0, keepdims=True)
                 d_y = jnp.sum(dpower * (-(c * dy + b * dx)), axis=0, keepdims=True)
                 d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
@@ -408,10 +441,11 @@ def _pad_tiles(starts, counts, nt, tiles_per_step):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                     tile_size, chunk, max_chunks, num_channels, interpret,
-                    tiles_per_step=TILES_PER_STEP, with_stats=True):
+                    tiles_per_step=TILES_PER_STEP, with_stats=True,
+                    lookahead=False):
     """Tile compositing over the chunk-aligned paged pair table.
 
     geo_rows: (8, P_paged) f32 (pack_geo_rows layout, aux slots last);
@@ -427,7 +461,7 @@ def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
     out, trans, _ = _forward_pallas(geo_rows, feat_rows, starts, counts,
                                     grid_w, grid_h, tile_size, chunk,
                                     max_chunks, num_channels, interpret,
-                                    tiles_per_step)
+                                    tiles_per_step, lookahead)
     return out, out, trans
 
 
@@ -435,39 +469,41 @@ _VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # of ~16 MB/core; headroom for spills
 
 
 def _assert_vmem_budget(max_chunks, chunk, c_pad, feat_dtype, num_channels,
-                        tps, pix, interpret):
+                        tps, pix, interpret, lookahead=False):
     """Scratch VMEM scales linearly with max_chunks (one slot per chunk, all
     DMAs issued up front); fail at trace time with the resize knobs named
     instead of letting Mosaic die on an opaque allocation error. Budgets the
-    BACKWARD (the larger program: 2x geo/feat slot arrays + the per-tile
-    tstarts block + two cotangent blocks)."""
+    BACKWARD (the larger program: banked geo/feat input slots + output slot
+    arrays + the per-tile tstarts block + two cotangent blocks)."""
     if interpret:
         return
     feat_bytes = jnp.dtype(feat_dtype).itemsize
     slot_bytes = max_chunks * chunk * (GEO_ROWS * 4 + c_pad * feat_bytes)
+    nbanks = 2 if lookahead else 1
     block_bytes = (
         tps * max_chunks * pix * 4       # tstarts block
         + 3 * tps * pix * 4              # trans_final + g_trans (+fwd trans)
         + 2 * num_channels * tps * pix * 4  # g_out + g_photo blocks
     )
-    total = 2 * slot_bytes + block_bytes
+    total = (nbanks + 1) * slot_bytes + block_bytes
     assert total <= _VMEM_BUDGET_BYTES, (
         f"compositor VMEM estimate {total / 2**20:.1f} MiB exceeds the "
         f"{_VMEM_BUDGET_BYTES / 2**20:.0f} MiB budget: max_chunks="
         f"{max_chunks} (= max_pairs_per_tile/chunk), chunk={chunk}, "
-        f"c_pad={c_pad}, tiles_per_step={tps}. Lower max_pairs_per_tile, "
-        f"raise chunk, or lower tiles_per_step."
+        f"c_pad={c_pad}, tiles_per_step={tps}, lookahead={lookahead}. "
+        f"Lower max_pairs_per_tile, raise chunk, or lower tiles_per_step."
     )
 
 
 def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                     tile_size, chunk, max_chunks, num_channels, interpret,
-                    tiles_per_step=TILES_PER_STEP):
+                    tiles_per_step=TILES_PER_STEP, lookahead=False):
     nt = grid_w * grid_h
     pix = tile_size * tile_size
     c_pad = feat_rows.shape[0]
     feat_dtype = feat_rows.dtype
     tps = tiles_per_step
+    nbanks = 2 if lookahead else 1
     starts, counts, nt_pad = _pad_tiles(starts, counts, nt, tps)
     assert max_chunks % 8 == 0 or interpret, (
         "pallas path requires max_pairs_per_tile/chunk to be a multiple of 8"
@@ -476,11 +512,11 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
         "pallas path requires chunk to be a multiple of 128 (HBM lane tiling)"
     )
     _assert_vmem_budget(max_chunks, chunk, c_pad, feat_dtype, num_channels,
-                        tps, pix, interpret)
+                        tps, pix, interpret, lookahead)
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels,
-        tiles_per_step=tps,
+        tiles_per_step=tps, lookahead=lookahead,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -498,13 +534,13 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            # one slot per chunk: every DMA is issued up front (see kernel)
-            pltpu.VMEM((max_chunks, GEO_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((max_chunks, c_pad, chunk), feat_dtype),
+            # one slot per chunk per bank (bank 1 only with lookahead)
+            pltpu.VMEM((nbanks, max_chunks, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((nbanks, max_chunks, c_pad, chunk), feat_dtype),
             pltpu.VMEM((num_channels, pix), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((max_chunks, 2)),
+            pltpu.SMEM((2, 2), jnp.int32),
+            pltpu.SemaphoreType.DMA((nbanks, max_chunks, 2)),
         ],
     )
     out, trans, tstarts = pl.pallas_call(
@@ -527,17 +563,19 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
 
 def _composite_fwd(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                    tile_size, chunk, max_chunks, num_channels, interpret,
-                   tiles_per_step=TILES_PER_STEP, with_stats=True):
+                   tiles_per_step=TILES_PER_STEP, with_stats=True,
+                   lookahead=False):
     out, trans, (tstarts, trans_full) = _forward_pallas(
         geo_rows, feat_rows, starts, counts, grid_w, grid_h, tile_size, chunk,
-        max_chunks, num_channels, interpret, tiles_per_step,
+        max_chunks, num_channels, interpret, tiles_per_step, lookahead,
     )
     return (out, out, trans), (geo_rows, feat_rows, starts, counts, tstarts,
                                trans_full)
 
 
 def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
-                   interpret, tiles_per_step, with_stats, res, cts):
+                   interpret, tiles_per_step, with_stats, lookahead, res,
+                   cts):
     geo_rows, feat_rows, starts, counts, tstarts, trans_full = res
     g_aux, g_photo, g_trans = cts
     g_out = g_aux + g_photo  # total-loss cotangent
@@ -546,6 +584,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
     c_pad = feat_rows.shape[0]
     feat_dtype = feat_rows.dtype
     tps = tiles_per_step
+    nbanks = 2 if lookahead else 1
 
     # the forward stopped once transmittance saturated; chunks past that
     # point carry zero gradients (grad planes are zero-initialized), so clamp
@@ -577,7 +616,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
     kernel = functools.partial(
         _bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels,
-        tiles_per_step=tps, with_stats=with_stats,
+        tiles_per_step=tps, with_stats=with_stats, lookahead=lookahead,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -603,14 +642,15 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
-            # per-chunk slots, all DMAs issued up front (see forward kernel)
-            pltpu.VMEM((max_chunks, GEO_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((max_chunks, c_pad, chunk), feat_dtype),
+            # banked per-chunk input slots (bank 1 only with lookahead);
+            # output slots stay single-bank (drained at each tile's end)
+            pltpu.VMEM((nbanks, max_chunks, GEO_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((nbanks, max_chunks, c_pad, chunk), feat_dtype),
             pltpu.VMEM((max_chunks, GEO_ROWS, chunk), jnp.float32),
             pltpu.VMEM((max_chunks, c_pad, chunk), feat_dtype),
             pltpu.VMEM((pix, 1), jnp.float32),
             pltpu.VMEM((pix, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((max_chunks, 2)),
+            pltpu.SemaphoreType.DMA((nbanks, max_chunks, 2)),
             pltpu.SemaphoreType.DMA((max_chunks, 2)),
         ],
     )

@@ -69,6 +69,12 @@ class RasterConfig:
     # sort; "bucket" = depth-presorted gaussians + blockwise tile buckets
     # (bit-identical outputs, ~4x less sort work — see binning._bucket_build)
     sort_mode: str = "lex"
+    # cross-tile DMA lookahead in the pallas compositor: issue the next
+    # tile's input copies on an alternate slot bank before this tile's
+    # compute, hiding the DMA-latency bubble at every tile switch (tiles
+    # average 1-2 chunks at bench scale, so the bubble dominates). Costs one
+    # extra geo+feat slot-array of VMEM in both kernels. Bit-identical.
+    dma_lookahead: bool = False
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -182,6 +188,7 @@ def render(
             geo_paged.T, feat_paged.T, binning.starts, binning.counts,
             grid_w, grid_h, ts, config.chunk, max_chunks, num_channels,
             interpret, config.tiles_per_step, config.viewspace_stats,
+            config.dma_lookahead,
         )
         image_photo = assemble_image(tiles_photo, grid_w, grid_h, ts, height, width)
     else:

@@ -58,6 +58,7 @@ def main():
                    help="compile the densification-stats rows out of the "
                         "backward (viewspace_stats=False)")
     p.add_argument("--sort_mode", default="lex", choices=["lex", "bucket"])
+    p.add_argument("--dma_lookahead", action="store_true")
     p.add_argument("--bin_phases", action="store_true",
                    help="also time binning sub-phases (preprocess / +expand "
                         "/ +sort / full) — 3 extra compiles")
@@ -89,7 +90,8 @@ def main():
                        tiles_per_step=args.tiles_per_step,
                        pair_capacity=args.pair_capacity,
                        viewspace_stats=not args.no_stats,
-                       sort_mode=args.sort_mode)
+                       sort_mode=args.sort_mode,
+                       dma_lookahead=args.dma_lookahead)
     ts = cfg.tile_size
     gw, gh = (width + ts - 1) // ts, (height + ts - 1) // ts
 

@@ -27,6 +27,14 @@ echo "=== bench r16/f32 + compact + bucket sort ==="
 python bench.py --pair_capacity 786432 --sort_mode bucket \
   | tee "$OUT/bench_compact_bucket.json"
 
+echo "=== bench r16/f32 + compact + DMA lookahead ==="
+python bench.py --pair_capacity 786432 --dma_lookahead \
+  | tee "$OUT/bench_compact_lookahead.json"
+
+echo "=== bench r16/f32 + ALL levers (compact+bucket+lookahead) ==="
+python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
+  | tee "$OUT/bench_all_levers.json"
+
 echo "=== breakdown bench scale, worst-case + binning sub-phases ==="
 python scripts/phase_breakdown.py --iters 10 --bin_phases \
   | tee "$OUT/breakdown_bench.json"

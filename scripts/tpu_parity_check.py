@@ -79,6 +79,23 @@ def main():
           f"(bit-identity {'ok' if compact_ok else 'VIOLATED'})")
     ok = ok and compact_ok
 
+    # DMA lookahead (banked cross-tile prefetch): pure scheduling, must be
+    # bit-identical on hardware (interpret mode can't prove the Mosaic
+    # semaphore schedule is race-free — this can)
+    cfg_la = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                          chunk=128, use_pallas=True, dma_lookahead=True)
+    (lla, img_la), gla = jax.value_and_grad(
+        lambda p: loss(p, cfg_la), has_aux=True)(model.params)
+    la_err = float(jnp.max(jnp.abs(img_la - img_p)))
+    la_ok = la_err == 0.0
+    for (k, a), (_, b) in zip(gla._asdict().items(), gp._asdict().items()):
+        if b.size == 0:
+            continue
+        la_ok = la_ok and float(jnp.max(jnp.abs(a - b))) == 0.0
+    print(f"dma-lookahead image err {la_err:.2e} "
+          f"(bit-identity {'ok' if la_ok else 'VIOLATED'})")
+    ok = ok and la_ok
+
     # stats gating (viewspace_stats=False): parameter grads must be
     # untouched when the densification aux rows are compiled out
     cfg_ns = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,

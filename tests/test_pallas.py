@@ -221,6 +221,33 @@ class TestStatsGating:
                                       np.zeros_like(np.asarray(g_off[1])))
 
 
+class TestDmaLookahead:
+    """RasterConfig.dma_lookahead banks the compositor's input DMA slots and
+    prefetches the next tile's copies — pure scheduling, so forward AND
+    gradients must be bit-identical with the flag on."""
+
+    def test_bit_identical_fwd_and_grads(self):
+        scene = make_scene(n=60)
+        cam, (means, scales, q, opacity, features) = scene
+        on = dataclasses.replace(PL_CFG, dma_lookahead=True)
+
+        def loss(cfg, s):
+            out = render(cam, means3d=means, scales=s, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"]), out
+
+        (l0, out0), g0 = jax.value_and_grad(
+            lambda s: loss(PL_CFG, s), has_aux=True)(scales)
+        (l1, out1), g1 = jax.value_and_grad(
+            lambda s: loss(on, s), has_aux=True)(scales)
+        np.testing.assert_array_equal(np.asarray(out0["render"]),
+                                      np.asarray(out1["render"]))
+        np.testing.assert_array_equal(np.asarray(out0["final_T"]),
+                                      np.asarray(out1["final_T"]))
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
 class TestPairCapacity:
     """Compact paged pair table (RasterConfig.pair_capacity)."""
 
