@@ -66,4 +66,9 @@ python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
   --aniso --scale_lo 3e-4 --pair_capacity 917504 --sort_mode bucket \
   | tee "$OUT/breakdown_hair_compact_bucket.json"
 
+echo "=== kernel-only microbench: lookahead + tps sweep at hair-like skew ==="
+python scripts/kernel_microbench.py --grid 32 --mean_chunks 4 \
+  --max_pairs 2048 --tps 16 32 64 --lookahead both \
+  | tee "$OUT/kernel_microbench.jsonl"
+
 echo "=== DONE ==="
