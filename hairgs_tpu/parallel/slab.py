@@ -172,16 +172,37 @@ def gauss_mesh(num_devices: Optional[int] = None) -> Mesh:
 
 
 def make_2d_mesh(data_size: int, gauss_size: int,
-                 data_axis: str = "data", gauss_axis: str = "gauss") -> Mesh:
-    """(data × gauss) mesh for view-DP composed with depth-slab sharding."""
+                 data_axis: str = "data", gauss_axis: str = "gauss",
+                 devices=None) -> Mesh:
+    """(data × gauss) mesh for view-DP composed with depth-slab sharding.
+
+    DCN-aware on multi-slice topologies (pods / multi-host): the data axis
+    is laid out ACROSS slices and the gauss axis WITHIN each slice, so the
+    per-step collectives match the link hierarchy — the slab fold's
+    image-segment all-gathers and the per-slab gradient reductions ride ICI
+    every step, while only the view-mean gradient all-reduce (one
+    model-sized psum per step) crosses DCN. This is the standard
+    "DP outermost over DCN" recipe; on a single slice (or the CPU test
+    mesh) it reduces to a row-major reshape of the local devices.
+    """
     import numpy as np
 
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     need = data_size * gauss_size
     assert len(devices) >= need, (
         f"need {need} devices for a {data_size}x{gauss_size} mesh, "
         f"have {len(devices)}"
     )
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        from jax.experimental import mesh_utils
+
+        # per-slice (ICI) shape x across-slice (DCN) shape; elementwise
+        # product is the final mesh shape
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (1, gauss_size), (data_size, 1), devices=devices)
+        return Mesh(dm, (data_axis, gauss_axis))
     return Mesh(np.asarray(devices[:need]).reshape(data_size, gauss_size),
                 (data_axis, gauss_axis))
 

@@ -242,3 +242,55 @@ class TestSlabTrainStep:
         for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
+
+
+class TestHybridMesh:
+    """DCN-aware (data x gauss) mesh layout: on multi-slice topologies the
+    data axis must span slices and the gauss axis must stay inside one
+    slice's ICI domain (make_2d_mesh docstring recipe)."""
+
+    def test_single_slice_reshape(self):
+        import jax
+
+        from hairgs_tpu.parallel.slab import make_2d_mesh
+
+        mesh = make_2d_mesh(2, 4)
+        assert mesh.axis_names == ("data", "gauss")
+        assert mesh.devices.shape == (2, 4)
+        # row-major over the local (single-slice) devices
+        np.testing.assert_array_equal(
+            np.asarray([d.id for d in mesh.devices.reshape(-1)]),
+            np.asarray([d.id for d in jax.devices()[:8]]))
+
+    def test_multi_slice_data_axis_spans_slices(self):
+        import jax
+
+        from hairgs_tpu.parallel.slab import make_2d_mesh
+
+        real = jax.devices()[:8]
+
+        class FakeDev:
+            """Real CPU device wrapper pretending to live on a 2-slice pod
+            (4 devices per slice)."""
+
+            def __init__(self, dev, slice_index):
+                self._dev = dev
+                self.slice_index = slice_index
+
+            def __getattr__(self, name):
+                return getattr(self._dev, name)
+
+            def __repr__(self):
+                return f"Fake({self._dev.id}, slice={self.slice_index})"
+
+        fakes = [FakeDev(d, i // 4) for i, d in enumerate(real)]
+        mesh = make_2d_mesh(2, 4, devices=fakes)
+        assert mesh.devices.shape == (2, 4)
+        # every mesh row (fixed data coordinate) lives on ONE slice, and the
+        # two rows live on DIFFERENT slices: the gauss axis is ICI-local,
+        # the data axis crosses DCN
+        row_slices = [
+            {d.slice_index for d in mesh.devices[r]} for r in range(2)
+        ]
+        assert all(len(s) == 1 for s in row_slices), row_slices
+        assert row_slices[0] != row_slices[1], row_slices
