@@ -227,7 +227,7 @@ class TestDmaLookahead:
     gradients must be bit-identical with the flag on."""
 
     def test_bit_identical_fwd_and_grads(self):
-        scene = make_scene(n=60)
+        scene = make_scene(n=32)
         cam, (means, scales, q, opacity, features) = scene
         on = dataclasses.replace(PL_CFG, dma_lookahead=True)
 
@@ -252,12 +252,14 @@ class TestPairCapacity:
     """Compact paged pair table (RasterConfig.pair_capacity)."""
 
     def test_ample_capacity_bit_identical(self):
-        """With capacity >= true demand the compact table must reproduce the
-        worst-case table exactly (forward AND gradients)."""
-        scene = make_scene(n=50)
+        """With capacity = measured demand (a genuinely SMALLER table than
+        the worst case) the compact layout must reproduce the worst-case
+        table exactly (forward AND gradients)."""
+        from hairgs_tpu.render.binning import paged_capacity
+
+        scene = make_scene(n=32)
         cam, (means, scales, q, opacity, features) = scene
         big = dataclasses.replace(PL_CFG)
-        small = dataclasses.replace(PL_CFG, pair_capacity=8192)
 
         def loss(cfg, s):
             out = render(cam, means3d=means, scales=s, rotations=q,
@@ -267,8 +269,15 @@ class TestPairCapacity:
 
         (l_b, out_b), g_b = jax.value_and_grad(
             lambda s: loss(big, s), has_aux=True)(scales)
+        demand = int(out_b["pairs_demand"])
+        ts = PL_CFG.tile_size
+        nt = (((WIDTH + ts - 1) // ts) * ((HEIGHT + ts - 1) // ts))
+        assert demand < paged_capacity(32, PL_CFG.max_tiles_per_gaussian,
+                                       nt, PL_CFG.chunk)
+        small = dataclasses.replace(PL_CFG, pair_capacity=demand)
         (l_s, out_s), g_s = jax.value_and_grad(
             lambda s: loss(small, s), has_aux=True)(scales)
+        assert int(out_s["overflow_capacity"]) == 0
         assert int(out_s["overflow_tiles"]) == int(out_b["overflow_tiles"])
         np.testing.assert_array_equal(np.asarray(out_s["render"]),
                                       np.asarray(out_b["render"]))
@@ -279,9 +288,9 @@ class TestPairCapacity:
         the content cap) and surface the drops in overflow_tiles."""
         from hairgs_tpu.render.binning import compact_capacity
 
-        scene = make_scene(n=60)
+        scene = make_scene(n=48)
         cam, (means, scales, q, opacity, features) = scene
-        cap = 4 * PL_CFG.chunk  # tiny: 3 content chunks + spare
+        cap = 3 * PL_CFG.chunk  # tiny: 3 content chunks + spare
         cfg = dataclasses.replace(PL_CFG, pair_capacity=cap)
         out = render(cam, means3d=means, scales=scales, rotations=q,
                      opacity=opacity, features=features,
@@ -306,4 +315,4 @@ class TestPairCapacity:
             return jnp.sum(o["render"] ** 2)
         g = jax.grad(loss)(scales)
         assert np.all(np.isfinite(np.asarray(g)))
-        assert compact_capacity(cap, 60, 16, 12, 16) == cap
+        assert compact_capacity(cap, 48, 16, 12, 16) == cap
