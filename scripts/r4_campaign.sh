@@ -15,10 +15,14 @@ cd "$(dirname "$0")/.."
 mkdir -p _runs/perf_r4
 
 # --- 0. wait for backend (probe in subprocesses; JAX caches init failure)
+# Wait up to 10 h: the Aug-17 outage already exceeded the original 4 h
+# window once; the rest of the round is the only budget that matters.
 waited=0
 until timeout 120 python -c "import jax; jax.devices()" > /dev/null 2>&1; do
   waited=$((waited + 180))
-  if [ "$waited" -gt 14400 ]; then
+  date > _runs/perf_r4/campaign_waiting.txt
+  echo "waited ~${waited}s" >> _runs/perf_r4/campaign_waiting.txt
+  if [ "$waited" -gt 36000 ]; then
     echo "backend never came up after ${waited}s; aborting campaign" \
       > _runs/perf_r4/campaign_abort.txt
     exit 1
@@ -32,6 +36,13 @@ date >> _runs/perf_r4/campaign_start.txt
 python scripts/tpu_parity_check.py > _runs/perf_r4/parity.txt 2>&1
 echo "parity rc=$?" >> _runs/perf_r4/parity.txt
 
+# --- 1.5 quick bench A/Bs of the round-4 perf knobs (~40 min) — runs
+# BEFORE the multi-hour quality legs so the default-flip decision data
+# (and a fresh stale-fallback artifact for the driver's BENCH capture)
+# exists even if the quality legs run to the end of the round.
+sh scripts/solo_bench_ab.sh > _runs/perf_r4/bench_ab.log 2>&1
+echo "bench_ab rc=$?" >> _runs/perf_r4/bench_ab.log
+
 # --- 2. validation polish from the healthy post-merge state
 sh scripts/stage3_corrective.sh polish_postmerge \
   > _runs/s3_polish_postmerge.log 2>&1
@@ -42,3 +53,8 @@ sh scripts/stage3_corrective.sh full > _runs/s3_full.log 2>&1
 echo "full rc=$?" >> _runs/s3_full.log
 
 date > _runs/perf_r4/campaign_done.txt
+
+# --- 4. post-campaign solo suite (breakdowns, topo A/B, AA probe) — chained
+# so the measurements happen even if no interactive session is alive.
+sh scripts/r4_after_campaign.sh > _runs/perf_r4/after_campaign.log 2>&1
+echo "after_campaign rc=$?" >> _runs/perf_r4/after_campaign.log

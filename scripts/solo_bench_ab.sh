@@ -1,0 +1,29 @@
+#!/bin/sh
+# Quick solo-chip bench A/Bs of the round-4 perf knobs (~40 min incl.
+# compiles). Split out of solo_perf_r4.sh so the chip campaign can get the
+# default-flip decision data BEFORE the multi-hour Stage-III legs occupy the
+# chip; the heavier phase_breakdown/microbench sweeps stay in
+# solo_perf_r4.sh for the post-campaign window.
+set -x
+cd "$(dirname "$0")/.."
+OUT=_runs/perf_r4
+mkdir -p "$OUT"
+
+# round-3 baseline config (worst-case table, lex sort, no lookahead)
+python bench.py | tee "$OUT/bench_r16_f32.json"
+
+# single levers (capacity constant: ~590k slots demand at bench scale,
+# measured by phase_breakdown round 3 -> 786432 budget)
+python bench.py --pair_capacity 786432 | tee "$OUT/bench_compact.json"
+python bench.py --pair_capacity 786432 --sort_mode bucket \
+  | tee "$OUT/bench_compact_bucket.json"
+python bench.py --pair_capacity 786432 --dma_lookahead \
+  | tee "$OUT/bench_compact_lookahead.json"
+
+# combined + the post-densify regime (stats compiled out)
+python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
+  | tee "$OUT/bench_all_levers.json"
+python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
+  --no_stats | tee "$OUT/bench_all_levers_nostats.json"
+
+date > "$OUT/bench_ab_done.txt"
