@@ -48,6 +48,14 @@ sh scripts/stage3_corrective.sh polish_postmerge \
   > _runs/s3_polish_postmerge.log 2>&1
 echo "polish_postmerge rc=$?" >> _runs/s3_polish_postmerge.log
 
+# --- 2.5 no-densify ALIGNMENT leg (insurance headline): the round-4
+# geometric diagnosis shows precision loss is fine misalignment, so a
+# 2k-iter clean-gradient leg at a real position LR can cross F1 0.518
+# without the densify dynamics that sank round 3 — and its checkpoint is
+# a valid headline even if the multi-hour `full` leg gets truncated.
+sh scripts/stage3_corrective.sh polish_lr > _runs/s3_polish_lr.log 2>&1
+echo "polish_lr rc=$?" >> _runs/s3_polish_lr.log
+
 # --- 3. headline corrective leg
 sh scripts/stage3_corrective.sh full > _runs/s3_full.log 2>&1
 echo "full rc=$?" >> _runs/s3_full.log

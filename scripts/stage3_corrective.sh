@@ -60,7 +60,7 @@ else
 fi
 
 case "$MODE" in
-  polish|polish_aa|polish_postmerge)
+  polish|polish_aa|polish_postmerge|polish_lr)
     # polish/polish_aa: from the converged (fragmented) 62017 state.
     # polish_postmerge: from the healthy post-merge 30017 state (F1 0.518,
     #   but rendered 2.7x too dark) — since the scene's GT is exactly
@@ -69,8 +69,18 @@ case "$MODE" in
     #   densification dynamics that destroyed precision; if F1 holds at
     #   ~0.5+ while masked-PSNR climbs, the corrective `full` recipe is
     #   validated before spending its multi-hour budget.
+    # polish_lr: like polish_postmerge but with a REAL position LR
+    #   (1.6e-5 -> 1.6e-6 over the leg, ~10x the pinned value) — the
+    #   round-4 geometric diagnosis (BASELINE.md) shows post-merge
+    #   precision loss is FINE MISALIGNMENT (median pred->GT 4.55mm vs
+    #   the 4mm gate, 25% of points in the 4-8mm band), so a no-densify
+    #   alignment leg with clean gradients + AA attacks precision
+    #   directly; if it crosses F1 0.518 it is a headline result on its
+    #   own, independent of the densify-risky `full` leg.
     BASE=iteration_62017
-    [ "$MODE" = polish_postmerge ] && BASE=iteration_30017
+    case "$MODE" in polish_postmerge|polish_lr) BASE=iteration_30017;; esac
+    LR_INIT=0.0000016
+    [ "$MODE" = polish_lr ] && LR_INIT=0.000016
     OUT=_runs/s3_$MODE
     rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
     cp -r "$SRC/point_cloud/$BASE" "$OUT/point_cloud/"
@@ -78,11 +88,11 @@ case "$MODE" in
     [ "$MODE" != polish ] && EXTRA="--antialiasing"
     python train.py -s "$DATA" -m "$OUT" $COMMON $EXTRA \
       --iterations 2000 \
-      --position_lr_init 0.0000016 --position_lr_final 0.0000016 \
+      --position_lr_init $LR_INIT --position_lr_final 0.0000016 \
       --position_lr_max_steps 2000 \
       --densify_until_iter 0 --merge_interval 1000000 \
       --growth_interval 1000000 --opacity_reset_interval 1000000 \
-      --save_frequency 2000 --eval_frequency 1000000
+      --save_frequency 1000 --eval_frequency 1000
     LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
     python eval.py -s "$DATA" \
       -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
