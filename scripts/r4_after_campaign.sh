@@ -5,6 +5,7 @@
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p _runs/perf_r4
+sh scripts/wait_backend.sh || exit 1
 
 # 1. solo perf A/Bs: compact table + stats gating + binning sub-phases
 sh scripts/solo_perf_r4.sh > _runs/perf_r4/solo_suite.log 2>&1

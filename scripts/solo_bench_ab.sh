@@ -8,6 +8,7 @@ set -x
 cd "$(dirname "$0")/.."
 OUT=_runs/perf_r4
 mkdir -p "$OUT"
+sh scripts/wait_backend.sh || exit 1
 
 # round-3 baseline config (worst-case table, lex sort, no lookahead)
 python bench.py | tee "$OUT/bench_r16_f32.json"

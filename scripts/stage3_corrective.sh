@@ -41,6 +41,9 @@
 set -e
 cd "$(dirname "$0")/.."
 MODE=${1:?usage: stage3_corrective.sh polish|polish_aa|full}
+# don't cascade-fail the campaign if the backend is mid-flap (Aug-17/18
+# outage class); wait up to 2 h for it before burning the leg
+sh scripts/wait_backend.sh
 DATA=_runs/syn150_512/data
 SRC=_runs/syn150_512/model
 
@@ -92,7 +95,9 @@ case "$MODE" in
       --position_lr_max_steps 2000 \
       --densify_until_iter 0 --merge_interval 1000000 \
       --growth_interval 1000000 --opacity_reset_interval 1000000 \
-      --save_frequency 1000 --eval_frequency 1000
+      --save_frequency 1000 --eval_frequency 1000 \
+      || { echo "train rc=$? — scoring last checkpoint anyway"; \
+           sh scripts/wait_backend.sh; }
     LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
     python eval.py -s "$DATA" \
       -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
@@ -109,9 +114,14 @@ case "$MODE" in
       --iterations 10000 --position_lr_max_steps 10000 \
       --densify_until_iter 5000 --densify_grad_threshold 0.0004 \
       --opacity_reset_interval 3000 \
-      --save_frequency 1000 --eval_frequency 5000
+      --save_frequency 1000 --eval_frequency 5000 \
+      || { echo "train rc=$? — scoring last checkpoint anyway"; \
+           sh scripts/wait_backend.sh; }
+    # score the LAST saved checkpoint (not a hardcoded iteration) so a
+    # partially-completed leg still produces a quality number
+    LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
     python eval.py -s "$DATA" \
-      -p "$OUT/point_cloud/iteration_40017/point_cloud.ply" -pt gs -m "$OUT"
+      -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
     ;;
 esac
 echo "=== corrective $MODE DONE ==="
