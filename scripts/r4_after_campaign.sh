@@ -7,6 +7,15 @@ cd "$(dirname "$0")/.."
 mkdir -p _runs/perf_r4
 sh scripts/wait_backend.sh || exit 1
 
+# 0. alignment tail on the headline leg (oracle probe: every 0.5mm of
+#    coherent motion ~ +0.05 F1) — extends a successful `full` leg or
+#    rescues a merely-close one; ~40 min.
+if [ -d _runs/s3_full/point_cloud ]; then
+  sh scripts/stage3_corrective.sh polish_from _runs/s3_full \
+    > _runs/s3_full_polish.log 2>&1
+  echo "full_polish rc=$?" >> _runs/s3_full_polish.log
+fi
+
 # 1. solo perf A/Bs: compact table + stats gating + binning sub-phases
 sh scripts/solo_perf_r4.sh > _runs/perf_r4/solo_suite.log 2>&1
 echo "solo_perf rc=$?" >> _runs/perf_r4/solo_suite.log

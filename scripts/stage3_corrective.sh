@@ -63,6 +63,30 @@ else
 fi
 
 case "$MODE" in
+  polish_from)
+    # Alignment tail chained onto an arbitrary leg's output: polish_lr's
+    # no-densify recipe (real position LR decay, clean budgets, AA) from
+    # the LAST checkpoint of the model dir in $2. The oracle-alignment
+    # probe (BASELINE.md) bounds what this is worth: every 0.5mm of
+    # coherent motion ~ +0.05 F1 at the 4mm gate.
+    SRC2=${2:?usage: stage3_corrective.sh polish_from <model_dir>}
+    BASE=$(ls "$SRC2/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
+    OUT=${SRC2}_polish
+    rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
+    cp -r "$SRC2/point_cloud/iteration_$BASE" "$OUT/point_cloud/"
+    python train.py -s "$DATA" -m "$OUT" $COMMON --antialiasing \
+      --iterations 2000 \
+      --position_lr_init 0.000016 --position_lr_final 0.0000016 \
+      --position_lr_max_steps 2000 \
+      --densify_until_iter 0 --merge_interval 1000000 \
+      --growth_interval 1000000 --opacity_reset_interval 1000000 \
+      --save_frequency 1000 --eval_frequency 1000 \
+      || { echo "train rc=$? — scoring last checkpoint anyway"; \
+           sh scripts/wait_backend.sh; }
+    LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
+    python eval.py -s "$DATA" \
+      -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
+    ;;
   polish|polish_aa|polish_postmerge|polish_lr)
     # polish/polish_aa: from the converged (fragmented) 62017 state.
     # polish_postmerge: from the healthy post-merge 30017 state (F1 0.518,
