@@ -27,4 +27,10 @@ python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
 python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
   --no_stats | tee "$OUT/bench_all_levers_nostats.json"
 
+# re-capture the DEFAULT config last so the freshest bench_*.json (which
+# bench.py's contended-chip fallback emits as the round artifact) is the
+# headline configuration, not whichever A/B variant happened to run last;
+# the identical-config compile is already cached from the first run.
+python bench.py | tee "$OUT/bench_headline.json"
+
 date > "$OUT/bench_ab_done.txt"
