@@ -108,6 +108,10 @@ class RuntimeConfig:
     antialiasing: bool = False  # Mip-Splatting dilation compensation: scale
     # opacity by sqrt(det(cov)/det(cov+0.3I)) (opt-in; the reference keeps
     # the +0.3px low-pass uncompensated)
+    alpha_min: float = 1.0 / 255.0  # per-pair alpha gate (reference value
+    # 1/255, forward.cu:343-351). Splats below the gate get zero gradient;
+    # lower it (e.g. 1e-5) for --antialiasing legs on models trained without
+    # AA, whose compensated alphas would otherwise freeze below the gate
     device_eval: str = "auto"  # auto: device-side in-training metrics on TPU
     # (final eval always uses the host oracle incl. strand consistency)
     log_interval: int = 10  # scalar-logging/sync cadence (each sync is a

@@ -43,7 +43,7 @@ def _tile_pixel_coords(grid_w: int, grid_h: int, tile_size: int) -> jnp.ndarray:
     return jnp.stack([px, py], axis=-1).astype(jnp.float32)
 
 
-def _chunk_alphas(xy_c, con_c, opa_c, pix):
+def _chunk_alphas(xy_c, con_c, opa_c, pix, alpha_min=ALPHA_MIN):
     """alpha/aux terms for one chunk.
 
     xy_c (NT,CH,2), con_c (NT,CH,3), opa_c (NT,CH), pix (NT,P,2)
@@ -57,7 +57,7 @@ def _chunk_alphas(xy_c, con_c, opa_c, pix):
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     G = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opa_c[:, :, None] * G)
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    ok = (power <= 0.0) & (alpha >= alpha_min)
     alpha = jnp.where(ok, alpha, 0.0)
     return alpha, G, ok, dx, dy
 
@@ -67,8 +67,9 @@ def _split_chunks(x, num_chunks, chunk):
     return x.reshape(nt, num_chunks, chunk, *x.shape[2:]).swapaxes(0, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def composite(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def composite(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk,
+              alpha_min=ALPHA_MIN):
     """Front-to-back composite of per-tile depth-sorted Gaussian lists.
 
     Args (all gathered per tile slot, invalid slots must carry opacity 0):
@@ -80,11 +81,13 @@ def composite(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk):
         out:   (NT, P, C) composited features WITHOUT background
         trans: (NT, P) final transmittance
     """
-    out, trans, _ = _forward(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk)
+    out, trans, _ = _forward(xy_g, con_g, opa_g, feat_g, grid_w, grid_h,
+                             tile_size, chunk, alpha_min)
     return out, trans
 
 
-def _forward(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk):
+def _forward(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk,
+             alpha_min=ALPHA_MIN):
     nt, K = opa_g.shape
     C = feat_g.shape[-1]
     P = tile_size * tile_size
@@ -102,7 +105,7 @@ def _forward(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk):
     def step(carry, x):
         trans, out = carry
         xy_c, con_c, opa_c, feat_c = x
-        alpha, _, _, _, _ = _chunk_alphas(xy_c, con_c, opa_c, pix)
+        alpha, _, _, _, _ = _chunk_alphas(xy_c, con_c, opa_c, pix, alpha_min)
         l = jnp.log1p(-alpha)
         cum = jnp.cumsum(l, axis=1)
         t_incl = trans[:, None, :] * jnp.exp(cum)  # unlatched; monotone in k
@@ -121,14 +124,15 @@ def _forward(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk):
     return out, trans, trans_starts
 
 
-def _composite_fwd(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk):
+def _composite_fwd(xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size,
+                   chunk, alpha_min=ALPHA_MIN):
     out, trans, trans_starts = _forward(
-        xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk
+        xy_g, con_g, opa_g, feat_g, grid_w, grid_h, tile_size, chunk, alpha_min
     )
     return (out, trans), (xy_g, con_g, opa_g, feat_g, trans, trans_starts)
 
 
-def _composite_bwd(grid_w, grid_h, tile_size, chunk, res, cts):
+def _composite_bwd(grid_w, grid_h, tile_size, chunk, alpha_min, res, cts):
     xy_g, con_g, opa_g, feat_g, trans_final, trans_starts = res
     g_out, g_trans = cts
     nt, K = opa_g.shape
@@ -145,7 +149,8 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, res, cts):
 
     def step(b_carry, x):
         xy_c, con_c, opa_c, feat_c, trans_in = x
-        alpha, G, ok, dx, dy = _chunk_alphas(xy_c, con_c, opa_c, pix)
+        alpha, G, ok, dx, dy = _chunk_alphas(xy_c, con_c, opa_c, pix,
+                                             alpha_min)
         l = jnp.log1p(-alpha)
         cum = jnp.cumsum(l, axis=1)
         t_incl = trans_in[:, None, :] * jnp.exp(cum)
@@ -208,7 +213,8 @@ def assemble_image(tiles: jnp.ndarray, grid_w: int, grid_h: int, tile_size: int,
 
 
 def composite_naive(xy, conic, opacity, features, depth, valid, width: int, height: int,
-                    bg=None, rect=None, tile_size: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    bg=None, rect=None, tile_size: int = 16,
+                    alpha_min: float = ALPHA_MIN) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequential reference compositor (exact CUDA loop semantics, O(N*H*W)).
 
     Test oracle only — mirrors forward.cu:261-374 literally: global stable
@@ -245,7 +251,7 @@ def composite_naive(xy, conic, opacity, features, depth, valid, width: int, heig
         in_rect = (
             (ptx >= rect_g[0]) & (ptx < rect_g[2]) & (pty >= rect_g[1]) & (pty < rect_g[3])
         )
-        ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & (~done) & in_rect
+        ok = (power <= 0.0) & (alpha >= alpha_min) & (~done) & in_rect
         test_t = trans * (1.0 - alpha)
         saturate = ok & (test_t < T_EPS)
         done = done | saturate

@@ -74,7 +74,8 @@ def pad_feat_rows(features, feat_bf16: bool):
     return features
 
 
-def _chunk_quantities(geo, feat_buf, px, py, count_in_chunk_mask, num_channels):
+def _chunk_quantities(geo, feat_buf, px, py, count_in_chunk_mask, num_channels,
+                      alpha_min=ALPHA_MIN):
     """Shared forward math for one chunk: geo (8, CH); feat (C_pad, CH)."""
     xg = geo[0:1, :]
     yg = geo[1:2, :]
@@ -88,7 +89,7 @@ def _chunk_quantities(geo, feat_buf, px, py, count_in_chunk_mask, num_channels):
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     G = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opa * G)
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & count_in_chunk_mask
+    ok = (power <= 0.0) & (alpha >= alpha_min) & count_in_chunk_mask
     alpha = jnp.where(ok, alpha, 0.0)
     return alpha, G, ok, dx, dy, feat, opa
 
@@ -113,7 +114,7 @@ def _pixel_coords(t, grid_w, tile_size, pix):
 def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 tstarts_ref, geo_buf, feat_buf, accum, trans, done, sem,
                 *, grid_w, tile_size, chunk, max_chunks, num_channels,
-                tiles_per_step, lookahead):
+                tiles_per_step, lookahead, alpha_min=ALPHA_MIN):
     pix = tile_size * tile_size
     upper_incl, _ = _triangular(chunk)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -198,7 +199,7 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 kmask = (j * chunk + k_iota) < count
                 alpha, _, _, _, _, feat, _ = _chunk_quantities(
                     geo_buf.at[bank, j], feat_buf.at[bank, j], px, py, kmask,
-                    num_channels,
+                    num_channels, alpha_min,
                 )
                 l = jnp.log1p(-alpha)
                 cum = jax.lax.dot_general(
@@ -238,7 +239,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 dfeat_init_hbm, dgeo_hbm, dfeat_hbm, geo_buf, feat_buf,
                 dgeo_buf, dfeat_buf, bcarry, bcarry2, sem, osem, *, grid_w,
                 tile_size, chunk, max_chunks, num_channels, tiles_per_step,
-                with_stats, lookahead):
+                with_stats, lookahead, alpha_min=ALPHA_MIN):
     del dgeo_init_hbm, dfeat_init_hbm  # aliased zero-initialized outputs
     pix = tile_size * tile_size
     upper_incl, strict_upper = _triangular(chunk)
@@ -325,7 +326,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 kmask = (j * chunk + k_iota) < count
                 alpha, G, ok, dx, dy, feat, opa = _chunk_quantities(
                     geo_buf.at[bank, j], feat_buf.at[bank, j], px, py, kmask,
-                    num_channels,
+                    num_channels, alpha_min,
                 )
                 l = jnp.log1p(-alpha)
                 cum = jax.lax.dot_general(
@@ -441,11 +442,11 @@ def _pad_tiles(starts, counts, nt, tiles_per_step):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                     tile_size, chunk, max_chunks, num_channels, interpret,
                     tiles_per_step=TILES_PER_STEP, with_stats=True,
-                    lookahead=False):
+                    lookahead=False, alpha_min=ALPHA_MIN):
     """Tile compositing over the chunk-aligned paged pair table.
 
     geo_rows: (8, P_paged) f32 (pack_geo_rows layout, aux slots last);
@@ -461,7 +462,7 @@ def composite_pairs(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
     out, trans, _ = _forward_pallas(geo_rows, feat_rows, starts, counts,
                                     grid_w, grid_h, tile_size, chunk,
                                     max_chunks, num_channels, interpret,
-                                    tiles_per_step, lookahead)
+                                    tiles_per_step, lookahead, alpha_min)
     return out, out, trans
 
 
@@ -497,7 +498,8 @@ def _assert_vmem_budget(max_chunks, chunk, c_pad, feat_dtype, num_channels,
 
 def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                     tile_size, chunk, max_chunks, num_channels, interpret,
-                    tiles_per_step=TILES_PER_STEP, lookahead=False):
+                    tiles_per_step=TILES_PER_STEP, lookahead=False,
+                    alpha_min=ALPHA_MIN):
     nt = grid_w * grid_h
     pix = tile_size * tile_size
     c_pad = feat_rows.shape[0]
@@ -516,7 +518,7 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
     kernel = functools.partial(
         _fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels,
-        tiles_per_step=tps, lookahead=lookahead,
+        tiles_per_step=tps, lookahead=lookahead, alpha_min=alpha_min,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -564,18 +566,19 @@ def _forward_pallas(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
 def _composite_fwd(geo_rows, feat_rows, starts, counts, grid_w, grid_h,
                    tile_size, chunk, max_chunks, num_channels, interpret,
                    tiles_per_step=TILES_PER_STEP, with_stats=True,
-                   lookahead=False):
+                   lookahead=False, alpha_min=ALPHA_MIN):
     out, trans, (tstarts, trans_full) = _forward_pallas(
         geo_rows, feat_rows, starts, counts, grid_w, grid_h, tile_size, chunk,
         max_chunks, num_channels, interpret, tiles_per_step, lookahead,
+        alpha_min,
     )
     return (out, out, trans), (geo_rows, feat_rows, starts, counts, tstarts,
                                trans_full)
 
 
 def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
-                   interpret, tiles_per_step, with_stats, lookahead, res,
-                   cts):
+                   interpret, tiles_per_step, with_stats, lookahead, alpha_min,
+                   res, cts):
     geo_rows, feat_rows, starts, counts, tstarts, trans_full = res
     g_aux, g_photo, g_trans = cts
     g_out = g_aux + g_photo  # total-loss cotangent
@@ -617,6 +620,7 @@ def _composite_bwd(grid_w, grid_h, tile_size, chunk, max_chunks, num_channels,
         _bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
         max_chunks=max_chunks, num_channels=num_channels,
         tiles_per_step=tps, with_stats=with_stats, lookahead=lookahead,
+        alpha_min=alpha_min,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

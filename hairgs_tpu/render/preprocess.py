@@ -117,6 +117,7 @@ def preprocess(
     mean2d_offset=None,
     opacity=None,
     antialiasing: bool = False,
+    alpha_min: float = 1.0 / 255.0,
 ) -> Preprocessed:
     """Vectorized preprocess over all Gaussians.
 
@@ -195,9 +196,9 @@ def preprocess(
         if compensation is not None:
             opa_cull = opa_cull * jax.lax.stop_gradient(compensation)
         r_alpha2 = 2.0 * jax.lax.stop_gradient(lambda1) * jnp.log(
-            jnp.maximum(opa_cull * 255.0, 1.0)
+            jnp.maximum(opa_cull / alpha_min, 1.0)
         )
-        # +1px slack absorbs the float boundary (the gate is alpha >= 1/255)
+        # +1px slack absorbs the float boundary (the gate is alpha>=alpha_min)
         cull_radius = jnp.minimum(radius, jnp.ceil(jnp.sqrt(r_alpha2)) + 1.0)
         rxmin, rymin, rxmax, rymax = tile_rect(cull_radius)
 

@@ -75,6 +75,14 @@ class RasterConfig:
     # average 1-2 chunks at bench scale, so the bubble dominates). Costs one
     # extra geo+feat slot-array of VMEM in both kernels. Bit-identical.
     dma_lookahead: bool = False
+    # per-pair alpha gate (reference 1/255, forward.cu:343-351). Splats
+    # below the gate contribute nothing AND receive zero gradient — with
+    # --antialiasing on a model trained without it, the compensation pushes
+    # most thin-segment alphas under 1/255 and freezes them (they can never
+    # brighten/widen back). Lowering the gate (e.g. 1e-5) restores gradient
+    # flow at the cost of more surviving pairs; raising it is a perf lever.
+    # The cull radius stays exact against whatever gate is set.
+    alpha_min: float = 1.0 / 255.0
 
     def __post_init__(self):
         assert self.max_pairs_per_tile % self.chunk == 0
@@ -129,15 +137,16 @@ def render(
         mean2d_offset=None if config.use_pallas else mean2d_offset,
         opacity=opacity,
         antialiasing=config.antialiasing,
+        alpha_min=config.alpha_min,
     )
 
     opa_eff = jnp.where(prep.valid, opacity, 0.0)
     if config.antialiasing:
         opa_eff = opa_eff * prep.compensation
     # alpha-cutoff exponent for the exact tile cull: a tile whose min
-    # quadratic exceeds ln(255*opa) can never pass the ALPHA_MIN gate
+    # quadratic exceeds ln(opa/alpha_min) can never pass the alpha gate
     q_cut = jax.lax.stop_gradient(
-        jnp.log(jnp.maximum(opa_eff, 1e-12) * 255.0)
+        jnp.log(jnp.maximum(opa_eff, 1e-12) / config.alpha_min)
     )
     num_channels = features.shape[-1]
     image_photo = None
@@ -188,7 +197,7 @@ def render(
             geo_paged.T, feat_paged.T, binning.starts, binning.counts,
             grid_w, grid_h, ts, config.chunk, max_chunks, num_channels,
             interpret, config.tiles_per_step, config.viewspace_stats,
-            config.dma_lookahead,
+            config.dma_lookahead, config.alpha_min,
         )
         image_photo = assemble_image(tiles_photo, grid_w, grid_h, ts, height, width)
     else:
@@ -215,7 +224,8 @@ def render(
         feat_g = jnp.where(pv[..., None], features[gid], 0.0)
 
         tiles, trans_tiles = composite(
-            xy_g, con_g, opa_g, feat_g, grid_w, grid_h, ts, config.chunk
+            xy_g, con_g, opa_g, feat_g, grid_w, grid_h, ts, config.chunk,
+            config.alpha_min,
         )
 
     image = assemble_image(tiles, grid_w, grid_h, ts, height, width)

@@ -34,6 +34,9 @@ def main():
         default="_runs/syn150_512/model/point_cloud/iteration_30017/point_cloud.ply",
     )
     ap.add_argument("--aa", action="store_true")
+    ap.add_argument("--alpha_min", type=float, default=1.0 / 255.0,
+                    help="per-pair alpha gate; lower to measure how many "
+                         "AA-frozen endpoints a gate value un-freezes")
     ap.add_argument("--n_cams", type=int, default=2)
     ap.add_argument("--max_tiles", type=int, default=64)
     # loss-mix overrides: rank which loss term's endpoint gradient actually
@@ -80,7 +83,7 @@ def main():
     cams = scene.get_cameras()[: args.n_cams]
     width, height = cams[0].image.shape[1], cams[0].image.shape[0]
     print(f"{model.num_segments} segments, {len(cams)} cams at "
-          f"{width}x{height}, aa={args.aa}")
+          f"{width}x{height}, aa={args.aa}, alpha_min={args.alpha_min:g}")
 
     import dataclasses
 
@@ -95,7 +98,7 @@ def main():
         print(f"loss overrides: {overrides}")
     cfg = RasterConfig(
         max_tiles_per_gaussian=args.max_tiles, max_pairs_per_tile=2048,
-        chunk=128, antialiasing=args.aa,
+        chunk=128, antialiasing=args.aa, alpha_min=args.alpha_min,
     )
     graph = model.graph
     dtsf = model.dist_to_scale_factor

@@ -64,12 +64,14 @@ python eval.py -s "$DATA" \
   -p "$OUT/point_cloud/iteration_$PLAST/point_cloud.ply" -pt gs -m "$OUT"
 
 # --- full-leg flag set (stage3_corrective.sh full): AA + async topology +
-# feat_bf16 + adaptive compact table + frozen budget + densify window
+# feat_bf16 + adaptive compact table + frozen budget + densify window +
+# lowered alpha gate (un-freezes the sub-gate splats AA creates on a model
+# trained without it — see RasterConfig.alpha_min)
 OUT=$ROOT/s3_full
 mkdir -p "$OUT/point_cloud"
 cp -r "$SRC/point_cloud/iteration_$LAST" "$OUT/point_cloud/"
 python train.py -s "$DATA" -m "$OUT" $SMALL \
-  --freeze_tile_budget --pair_capacity 0 --antialiasing \
+  --freeze_tile_budget --pair_capacity 0 --antialiasing --alpha_min 1e-5 \
   --async_topology --feat_bf16 \
   --iterations 60 --position_lr_max_steps 60 \
   --densify_until_iter 30 --densify_grad_threshold 0.0004 \

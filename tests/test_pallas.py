@@ -316,3 +316,63 @@ class TestPairCapacity:
         g = jax.grad(loss)(scales)
         assert np.all(np.isfinite(np.asarray(g)))
         assert compact_capacity(cap, 48, 16, 12, 16) == cap
+
+
+class TestAlphaMin:
+    """RasterConfig.alpha_min: the per-pair alpha gate (reference 1/255,
+    forward.cu:343-351). Splats below the gate contribute nothing and get
+    ZERO gradient — lowering the gate un-freezes them (the AA-on-a-model-
+    trained-without-AA regime pushes most thin-segment alphas sub-gate)."""
+
+    def test_default_is_reference_gate(self):
+        assert RasterConfig().alpha_min == 1.0 / 255.0
+
+    def _scene_with_subgate(self):
+        scene = make_scene(n=24, opacity_max=0.8)
+        cam, (means, scales, q, opacity, features) = scene
+        # half the gaussians sit below the 1/255 gate at their center pixel
+        opacity = opacity.at[12:].set(2e-3)
+        return cam, (means, scales, q, opacity, features)
+
+    def _grads(self, cfg, scene):
+        cam, args = scene
+        rng = np.random.default_rng(5)
+        gw = jnp.asarray(rng.normal(size=(HEIGHT, WIDTH, 3)).astype(np.float32))
+
+        def loss(means, scales, q, opacity, features):
+            out = render(cam, means3d=means, scales=scales, rotations=q,
+                         opacity=opacity, features=features,
+                         width=WIDTH, height=HEIGHT, config=cfg)
+            return jnp.sum(out["render"] * gw)
+
+        return jax.grad(loss, argnums=(0, 3))(*args)  # d means, d opacity
+
+    def test_subgate_frozen_at_default_unfrozen_below(self):
+        scene = self._scene_with_subgate()
+        for base in (XLA_CFG, PL_CFG):
+            g_mean, g_opa = self._grads(base, scene)
+            # sub-gate rows: exactly zero gradient (frozen)
+            assert float(jnp.abs(g_opa[12:]).max()) == 0.0, base.use_pallas
+            assert float(jnp.abs(g_mean[12:]).max()) == 0.0
+            low = dataclasses.replace(base, alpha_min=1e-5)
+            g_mean2, g_opa2 = self._grads(low, scene)
+            # the lowered gate restores gradient flow to every sub-gate row
+            assert np.all(np.abs(np.asarray(g_opa2[12:])) > 0), base.use_pallas
+            # visible rows keep gradients of the same scale
+            ref = float(jnp.abs(g_opa[:12]).max())
+            assert float(jnp.abs(g_opa2[:12]).max()) == pytest.approx(ref, rel=0.2)
+
+    def test_paths_agree_at_lowered_gate(self):
+        scene = self._scene_with_subgate()
+        low_x = dataclasses.replace(XLA_CFG, alpha_min=1e-5)
+        low_p = dataclasses.replace(PL_CFG, alpha_min=1e-5)
+        out_x = run(low_x, scene)
+        out_p = run(low_p, scene)
+        np.testing.assert_allclose(np.asarray(out_p["render"]),
+                                   np.asarray(out_x["render"]), atol=3e-5)
+        gx = self._grads(low_x, scene)
+        gp = self._grads(low_p, scene)
+        for x, p in zip(gx, gp):
+            scale = np.maximum(np.abs(np.asarray(x)).max(), 1e-3)
+            np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                       atol=2e-3 * scale, rtol=2e-3)

@@ -271,3 +271,27 @@ class TestAsyncTopologyDriver:
         # a live endpoint)
         arr = model3.host_arrays(keys=("endpoint_pairs",))
         assert arr["endpoint_pairs"].max() < model3.num_endpoints
+
+        # ---- async topology COMBINED with the 2D (data x gauss) mesh
+        # (VERDICT r3 #8: the --gauss_shard + --async_topology combination):
+        # resume the same run for 20 more iters with the slab train step,
+        # crossing the merge cadence while events install into slab-sharded
+        # arenas.
+        opt4 = dataclasses.replace(small_opt(60), growth_interval=55)
+        args4 = make_args(dataset, model_path, opt4,
+                          extra={"async_topology": True, "gauss_shard": 2,
+                                 "view_batch": 2})
+        gp4 = GeneralConfig(quiet=True, logger="none",
+                            save_frequency=60, eval_frequency=60)
+        rt4 = dataclasses.replace(rt, async_topology=True, gauss_shard=2,
+                                  view_batch=2)
+        scene4, model4 = training(mp, opt4, gp4, rt4, args4)
+        assert isinstance(model4, HairModel)
+        assert model4.num_segments > 0
+        arr4 = model4.host_arrays(keys=("endpoint_pairs",))
+        assert arr4["endpoint_pairs"].max() < model4.num_endpoints
+        # iteration numbering is cumulative across resumed legs: the end
+        # save lands at loaded_iter + opt4.iterations
+        assert os.path.exists(os.path.join(
+            model_path, "point_cloud",
+            f"iteration_{scene4.loaded_iter + 60}", "point_cloud.ply"))

@@ -207,6 +207,7 @@ def training(mp, op, gp, rt, args):
             use_pallas=pallas_on,
             feat_bf16=rt.feat_bf16,
             antialiasing=rt.antialiasing,
+            alpha_min=rt.alpha_min,
             viewspace_stats=stats_enabled,
             sort_mode=rt.sort_mode,
             # compact tables only exist on the paged pallas layout; the XLA
