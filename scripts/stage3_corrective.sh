@@ -75,6 +75,7 @@ case "$MODE" in
     rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
     cp -r "$SRC2/point_cloud/iteration_$BASE" "$OUT/point_cloud/"
     python train.py -s "$DATA" -m "$OUT" $COMMON --antialiasing \
+      --alpha_min 0.00001 \
       --iterations 2000 \
       --position_lr_init 0.000016 --position_lr_final 0.0000016 \
       --position_lr_max_steps 2000 \
@@ -111,8 +112,13 @@ case "$MODE" in
     OUT=_runs/s3_$MODE
     rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
     cp -r "$SRC/point_cloud/$BASE" "$OUT/point_cloud/"
+    # AA legs lower the alpha gate: the round-4 probes measured that with
+    # --antialiasing alone, 61% of this checkpoint's endpoints never
+    # receive gradient across all 16 views (compensation pushes their
+    # alpha below the 1/255 gate -> frozen but still scored in F1);
+    # --alpha_min 1e-5 restores 98% coverage at no-AA-comparable overflow.
     EXTRA=""
-    [ "$MODE" != polish ] && EXTRA="--antialiasing"
+    [ "$MODE" != polish ] && EXTRA="--antialiasing --alpha_min 0.00001"
     python train.py -s "$DATA" -m "$OUT" $COMMON $EXTRA \
       --iterations 2000 \
       --position_lr_init $LR_INIT --position_lr_final 0.0000016 \
@@ -134,7 +140,7 @@ case "$MODE" in
     # 0.0002 is tuned for 1000^2 real captures; at 512^2 synthetic it drove
     # 7x over-densification), consolidate for the other half, one LR decay.
     python train.py -s "$DATA" -m "$OUT" $COMMON --antialiasing \
-      --async_topology --feat_bf16 \
+      --alpha_min 0.00001 --async_topology --feat_bf16 \
       --iterations 10000 --position_lr_max_steps 10000 \
       --densify_until_iter 5000 --densify_grad_threshold 0.0004 \
       --opacity_reset_interval 3000 \
