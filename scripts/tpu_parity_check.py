@@ -111,6 +111,31 @@ def main():
     print(f"stats-gating param grads {'identical' if stats_ok else 'DIFFER'}")
     ok = ok and stats_ok
 
+    # AA + lowered alpha gate: the corrective legs' kernel variant
+    # (--antialiasing --alpha_min 1e-5). Pallas-vs-XLA parity at the
+    # non-default gate proves the Mosaic compile of that constant is sound
+    # before a multi-hour leg depends on it.
+    cfg_ap = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                          chunk=128, use_pallas=True, antialiasing=True,
+                          alpha_min=1e-5)
+    cfg_ax = RasterConfig(max_tiles_per_gaussian=16, max_pairs_per_tile=1024,
+                          chunk=128, use_pallas=False, antialiasing=True,
+                          alpha_min=1e-5)
+    (lap, img_ap), gap = jax.value_and_grad(
+        lambda p: loss(p, cfg_ap), has_aux=True)(model.params)
+    (lax_, img_ax), gax = jax.value_and_grad(
+        lambda p: loss(p, cfg_ax), has_aux=True)(model.params)
+    aa_err = float(jnp.max(jnp.abs(img_ap - img_ax)))
+    aa_ok = aa_err < 1e-3
+    for (k, a), (_, b) in zip(gap._asdict().items(), gax._asdict().items()):
+        if b.size == 0:
+            continue
+        rel = float(jnp.max(jnp.abs(a - b))) / (float(jnp.max(jnp.abs(b))) + 1e-6)
+        aa_ok = aa_ok and rel < 5e-3
+    print(f"aa+alpha_min image err {aa_err:.2e} "
+          f"({'ok' if aa_ok else 'VIOLATED'})")
+    ok = ok and aa_ok
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
