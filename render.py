@@ -89,7 +89,8 @@ def render_sets(args):
                        max_pairs_per_tile=rt.max_pairs_per_tile,
                        chunk=rt.composite_chunk,
                        use_pallas=bool(use_pallas) and use_pallas != "false",
-                       antialiasing=rt.antialiasing)
+                       antialiasing=rt.antialiasing,
+                       alpha_min=rt.alpha_min)
 
     it = scene.loaded_iter
     types = [args.type] if args.type != -1 else [0, 2, 3, 4, 1]
