@@ -223,6 +223,9 @@ def main():
     parser.add_argument("--dma_lookahead", action="store_true",
                         help="cross-tile DMA prefetch in the compositor "
                              "kernels (bit-identical scheduling change)")
+    parser.add_argument("--alpha_min", type=float, default=1.0 / 255.0,
+                        help="per-pair alpha gate (reference 1/255); raising "
+                             "it culls more pairs — a perf lever to A/B")
     parser.add_argument("--n_cams", type=int, default=4,
                         help="viewpoints rotated through the timed loop "
                              "(1 reproduces the round-2 fixed-camera "
@@ -239,7 +242,8 @@ def main():
                        pair_capacity=args.pair_capacity,
                        viewspace_stats=not args.no_stats,
                        sort_mode=args.sort_mode,
-                       dma_lookahead=args.dma_lookahead)
+                       dma_lookahead=args.dma_lookahead,
+                       alpha_min=args.alpha_min)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,
                                        active_sh_degree=0)
 

@@ -59,6 +59,9 @@ def main():
                         "backward (viewspace_stats=False)")
     p.add_argument("--sort_mode", default="lex", choices=["lex", "bucket"])
     p.add_argument("--dma_lookahead", action="store_true")
+    p.add_argument("--alpha_min", type=float, default=1.0 / 255.0,
+                   help="per-pair alpha gate; raising it culls more pairs "
+                        "(perf lever), lowering it admits fainter splats")
     p.add_argument("--bin_phases", action="store_true",
                    help="also time binning sub-phases (preprocess / +expand "
                         "/ +sort / full) — 3 extra compiles")
@@ -91,7 +94,8 @@ def main():
                        pair_capacity=args.pair_capacity,
                        viewspace_stats=not args.no_stats,
                        sort_mode=args.sort_mode,
-                       dma_lookahead=args.dma_lookahead)
+                       dma_lookahead=args.dma_lookahead,
+                       alpha_min=args.alpha_min)
     ts = cfg.tile_size
     gw, gh = (width + ts - 1) // ts, (height + ts - 1) // ts
 
