@@ -109,6 +109,12 @@ case "$MODE" in
     case "$MODE" in polish_postmerge|polish_lr) BASE=iteration_30017;; esac
     LR_INIT=0.0000016
     [ "$MODE" = polish_lr ] && LR_INIT=0.000016
+    # polish_postmerge is the position-frozen A/B control for polish_lr
+    # (identical leg except position LR); 1000 iters suffice to isolate
+    # the brightening effect and free ~20 chip-minutes for the legs that
+    # can actually move F1
+    ITERS=2000
+    [ "$MODE" = polish_postmerge ] && ITERS=1000
     OUT=_runs/s3_$MODE
     rm -rf "$OUT"; mkdir -p "$OUT/point_cloud"
     cp -r "$SRC/point_cloud/$BASE" "$OUT/point_cloud/"
@@ -120,7 +126,7 @@ case "$MODE" in
     EXTRA=""
     [ "$MODE" != polish ] && EXTRA="--antialiasing --alpha_min 0.00001"
     python train.py -s "$DATA" -m "$OUT" $COMMON $EXTRA \
-      --iterations 2000 \
+      --iterations "$ITERS" \
       --position_lr_init $LR_INIT --position_lr_final 0.0000016 \
       --position_lr_max_steps 2000 \
       --densify_until_iter 0 --merge_interval 1000000 \
