@@ -39,6 +39,16 @@ def main():
                          "AA-frozen endpoints a gate value un-freezes")
     ap.add_argument("--n_cams", type=int, default=2)
     ap.add_argument("--max_tiles", type=int, default=64)
+    ap.add_argument("--max_pairs", type=int, default=2048,
+                    help="per-tile pair budget; coarse resolutions pack the "
+                         "same pairs into 16x fewer tiles — raise it there")
+    ap.add_argument("--save_grad", default=None,
+                    help="npz path for the summed endpoint gradient (feeds "
+                         "scripts/sign_step_f1_probe.py)")
+    ap.add_argument("--resolution", type=int, default=-1,
+                    help="reference-style downscale (1/2/4/8): coarse "
+                         "renders widen the photometric basin — the "
+                         "coarse-to-fine alignment hypothesis")
     # loss-mix overrides: rank which loss term's endpoint gradient actually
     # points toward GT (λ_orientation=100 dominates the default mix, but the
     # oracle probe showed the angle gate never binds — its gradient may be
@@ -76,7 +86,8 @@ def main():
     )
     scene_args = types.SimpleNamespace(
         source_path=args.data, model_path=stub, images="images",
-        resolution=-1, sh_degree=0, data_device="auto", eval=False)
+        resolution=args.resolution, sh_degree=0, data_device="auto",
+        eval=False)
     scene = Scene(scene_args, shuffle=False)
     model = scene.gaussians
     assert isinstance(model, HairModel), type(model)
@@ -97,7 +108,8 @@ def main():
         opt = dataclasses.replace(opt, **overrides)
         print(f"loss overrides: {overrides}")
     cfg = RasterConfig(
-        max_tiles_per_gaussian=args.max_tiles, max_pairs_per_tile=2048,
+        max_tiles_per_gaussian=args.max_tiles,
+        max_pairs_per_tile=args.max_pairs,
         chunk=128, antialiasing=args.aa, alpha_min=args.alpha_min,
     )
     graph = model.graph
@@ -110,11 +122,27 @@ def main():
             lambda p: hair_render_inputs(p, graph, cam.cam_center, 0, dtsf),
             model.params, cam, graph.seg_active, opt, cfg, width, height,
         )
-        ge = np.asarray(grads.endpoints, np.float64)
-        g_total = ge if g_total is None else g_total + ge
+        gtree = dict(
+            endpoints=np.asarray(grads.endpoints, np.float64),
+            opacity=np.asarray(grads.opacity, np.float64),
+            mask=np.asarray(grads.mask, np.float64),
+            width=np.asarray(grads.width, np.float64),
+        )
+        if g_total is None:
+            g_total = gtree
+        else:
+            g_total = {k: g_total[k] + v for k, v in gtree.items()}
         print(f"  view: loss {float(loss):.4f} "
               f"overflow p/t {int(aux['overflow_pairs'])}/"
               f"{int(aux['overflow_tiles'])}  {time.time() - t0:.0f}s")
+
+    if args.save_grad:
+        np.savez(args.save_grad, endpoint_grad=g_total["endpoints"],
+                 opacity_grad=g_total["opacity"], mask_grad=g_total["mask"],
+                 width_grad=g_total["width"],
+                 ply=args.ply, n_cams=args.n_cams, aa=args.aa,
+                 alpha_min=args.alpha_min)
+        print(f"saved summed gradients -> {args.save_grad}")
 
     # oracle direction per endpoint that carries gradient
     gt = load_hair_eval_data_npz(os.path.join(args.data, "hair_eval_data.npz"))
@@ -123,7 +151,7 @@ def main():
     tree = cKDTree(gt.points)
     d_nn, i_nn = tree.query(ep[used])
     oracle = gt.points[i_nn] - ep[used]
-    step = -g_total[used]
+    step = -g_total["endpoints"][used]
 
     gn = np.linalg.norm(step, axis=1)
     on = np.linalg.norm(oracle, axis=1)
