@@ -9,6 +9,14 @@ intended table output is implemented here).
 import sys
 from argparse import ArgumentParser
 
+import jax
+
+# The standalone eval is the HOST oracle (scipy metrics + CPU-renderable
+# image metrics); it must keep working while the TPU backend is down —
+# round-4 outage: an eager jnp op during model loading hung for minutes
+# retrying the axon tunnel before any metric ran.
+jax.config.update("jax_platforms", "cpu")
+
 from hairgs_tpu.evaluation.eval_data import eval_data_loading_callbacks
 from hairgs_tpu.evaluation.metrics import compute_metrics
 

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Apply N strand-growth events to a hair checkpoint and save the result
+as a new checkpoint directory (Stage II.5: host-side geometric growth).
+
+The growth dry-run (scripts/growth_f1_probe.py, BASELINE.md) measured that
+two 2mm tip-extension events on the post-merge state raise F1(b)@(4mm,90)
+from 0.5180 to 0.5309 (recall 0.652 -> 0.727) — coverage, not alignment,
+was the binding axis. hair_growing is the reference's growing()
+(scene/hair_gaussian_model.py:1098-1203; shipped broken upstream —
+cat_segments called with 6 of 7 args — and disabled by its default
+growth_interval; implemented correctly here), applied as a standalone
+pipeline step the same way Stage II applies host-side merging.
+
+Usage:
+  python scripts/grow_and_save.py -m _runs/syn150_512/model \
+      --out _runs/s3_growth [--events 2]
+Then score with:
+  python eval.py -s <data> -p <out>/point_cloud/iteration_N/point_cloud.ply \
+      -pt gs -m <out>
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", "-s", default="_runs/syn150_512/data")
+    ap.add_argument("--model", "-m", default="_runs/syn150_512/model")
+    ap.add_argument("--base_iter", type=int, default=30017)
+    ap.add_argument("--out", default="_runs/s3_growth")
+    ap.add_argument("--events", type=int, default=2)
+    ap.add_argument("--growth_length", type=float, default=0.002)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from hairgs_tpu.config import OptimizationConfig
+    from hairgs_tpu.models.hair import HairModel
+    from hairgs_tpu.scene import Scene
+    from hairgs_tpu.topo.graph_ops import hair_growing
+
+    base = os.path.join(args.model, "point_cloud", f"iteration_{args.base_iter}")
+    os.makedirs(os.path.join(args.out, "point_cloud"), exist_ok=True)
+    stage = os.path.join(args.out, "point_cloud", f"iteration_{args.base_iter}")
+    if not os.path.exists(stage):
+        shutil.copytree(base, stage)
+
+    scene_args = types.SimpleNamespace(
+        source_path=args.data, model_path=args.out, images="images",
+        resolution=-1, sh_degree=0, data_device="auto", eval=False)
+    scene = Scene(scene_args, shuffle=False)
+    model = scene.gaussians
+    assert isinstance(model, HairModel), type(model)
+    assert scene.loaded_iter == args.base_iter, scene.loaded_iter
+    model.training_setup(OptimizationConfig())
+
+    grown = 0
+    for ev in range(args.events):
+        n = hair_growing(model, growth_length=args.growth_length)
+        grown += n
+        print(f"growth event {ev + 1}: +{n} tip segments "
+              f"({model.num_segments} total)")
+        if n == 0:
+            break
+
+    out_iter = args.base_iter + args.events
+    out_ply = scene.save(args.events)  # scene.save adds loaded_iter offset
+    print(f"saved grown checkpoint ({grown} new segments) -> {out_ply}")
+    assert os.path.exists(out_ply)
+    return out_ply
+
+
+if __name__ == "__main__":
+    main()
