@@ -32,7 +32,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", "-s", default="_runs/syn150_512/data")
     ap.add_argument("--model", "-m", default="_runs/syn150_512/model")
-    ap.add_argument("--base_iter", type=int, default=30017)
+    ap.add_argument("--base_iter", type=int, default=0,
+                    help="checkpoint iteration to grow (0 = latest in the "
+                         "model dir)")
     ap.add_argument("--out", default="_runs/s3_growth")
     ap.add_argument("--events", type=int, default=2)
     ap.add_argument("--growth_length", type=float, default=0.002)
@@ -50,6 +52,12 @@ def main():
     from hairgs_tpu.scene import Scene
     from hairgs_tpu.topo.graph_ops import hair_growing
 
+    if args.base_iter == 0:
+        iters = [int(d.split("_")[1])
+                 for d in os.listdir(os.path.join(args.model, "point_cloud"))
+                 if d.startswith("iteration_")]
+        args.base_iter = max(iters)
+        print(f"growing latest checkpoint: iteration_{args.base_iter}")
     base = os.path.join(args.model, "point_cloud", f"iteration_{args.base_iter}")
     os.makedirs(os.path.join(args.out, "point_cloud"), exist_ok=True)
     stage = os.path.join(args.out, "point_cloud", f"iteration_{args.base_iter}")

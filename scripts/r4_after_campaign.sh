@@ -7,9 +7,26 @@ cd "$(dirname "$0")/.."
 mkdir -p _runs/perf_r4
 sh scripts/wait_backend.sh || exit 1
 
-# 0. alignment tail on the headline leg (oracle probe: every 0.5mm of
+# 0. growth tail on the full leg's output (CPU, minutes): the round-4
+#    growth recipe (+2x2mm tips + merge) added +0.013 F1 and +0.06
+#    strand-consistency on the post-merge state; apply it to whatever the
+#    full leg produced and score both.
+if [ -d _runs/s3_full/point_cloud ]; then
+  python scripts/grow_and_save.py -m _runs/s3_full --out _runs/s3_full_grown \
+    > _runs/s3_full_grown.log 2>&1
+  GLAST=$(ls _runs/s3_full_grown/point_cloud 2>/dev/null \
+    | sed 's/iteration_//' | sort -n | tail -1)
+  [ -n "$GLAST" ] && python eval.py -s _runs/syn150_512/data \
+    -p "_runs/s3_full_grown/point_cloud/iteration_$GLAST/point_cloud.ply" \
+    -pt gs -m _runs/s3_full_grown >> _runs/s3_full_grown.log 2>&1
+  echo "full_grown rc=$?" >> _runs/s3_full_grown.log
+fi
+
+# 0b. alignment tail on the headline leg (oracle probe: every 0.5mm of
 #    coherent motion ~ +0.05 F1) — extends a successful `full` leg or
-#    rescues a merely-close one; ~40 min.
+#    rescues a merely-close one; ~40 min. NOTE: the round-4 linearized
+#    probes predict gradient polish holds rather than improves F1; the
+#    growth tail above is the measured positive lever.
 if [ -d _runs/s3_full/point_cloud ]; then
   sh scripts/stage3_corrective.sh polish_from _runs/s3_full \
     > _runs/s3_full_polish.log 2>&1
