@@ -8,6 +8,8 @@
 # Checking liveness with ps|grep is fine; this script never kills anything.
 cd "$(dirname "$0")/.."
 mkdir -p _runs/perf_r4
+CAMPAIGN=${1:-scripts/r4_campaign.sh}
+CNAME=$(basename "$CAMPAIGN" .sh)
 COUNT_FILE=_runs/perf_r4/watchdog_relaunches.txt
 [ -f "$COUNT_FILE" ] || echo 0 > "$COUNT_FILE"
 while :; do
@@ -15,7 +17,7 @@ while :; do
     echo "campaign done; watchdog exiting" >> _runs/perf_r4/watchdog.log
     exit 0
   fi
-  alive=$(ps -ef | grep '[r]4_campaign.sh' | wc -l)
+  alive=$(ps -ef | grep "[${CNAME%"${CNAME#?}"}]${CNAME#?}.sh" | wc -l)
   if [ "$alive" -eq 0 ]; then
     n=$(cat "$COUNT_FILE")
     if [ "$n" -ge 3 ]; then
@@ -27,7 +29,7 @@ while :; do
     rm -f _runs/perf_r4/campaign_abort.txt
     echo "$(date): campaign not running; relaunch #$((n + 1))" \
       >> _runs/perf_r4/watchdog.log
-    setsid nohup sh scripts/r4_campaign.sh \
+    setsid nohup sh "$CAMPAIGN" \
       > _runs/perf_r4/campaign_relaunch_$((n + 1)).log 2>&1 < /dev/null &
   fi
   sleep 300
