@@ -58,3 +58,11 @@ for AA in off on; do
 done
 
 date > _runs/perf_r4/after_campaign_done.txt
+
+# 4. headline run at the reference-native 1000^2 convention (multi-hour;
+#    resumable — safe to start at the tail of the round and let the next
+#    session/round harvest it). Skipped if already complete.
+if [ ! -f _runs/syn150_1k/done.txt ]; then
+  sh scripts/run_reference_schedule_1k.sh > _runs/perf_r4/sched_1k.log 2>&1
+  echo "sched_1k rc=$?" >> _runs/perf_r4/sched_1k.log
+fi

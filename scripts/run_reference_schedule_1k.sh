@@ -1,13 +1,17 @@
-#!/bin/bash
+#!/bin/sh
 # Full reference-schedule run at the reference's NATIVE camera convention
 # (1000x1000, utils/camera.py:62-99): synthetic 150-strand scene, 16 cams.
-#   Stage I: 30k -> Stage II merge -> Stage III: 30k -> eval.
+#   Stage I: 30k -> Stage II merge -> Stage II.5 growth -> Stage III: 30k
+#   -> eval (with growth tail applied to the Stage-III output too).
 #
 # Round-4 recipe differences vs scripts/run_reference_schedule.sh, from the
 # round-3 Stage-III post-mortem (BASELINE.md):
 #   --antialiasing        Mip-Splatting compensation for the 1px-strand
 #                         regime (uncompensated dilation darkened thin
 #                         strands: masked-PSNR ~8 at 512^2);
+#   --alpha_min 1e-5      probe-driven companion to AA (plain AA pushed 61%
+#                         of endpoints' every pair below the 1/255 gate —
+#                         zero gradient across all 16 views);
 #   overflow-zero budgets r=64 / max_pairs 2048 (tile-cap drops starved
 #                         the deepest pairs' gradients);
 #   --async_topology      topology events off the critical path at
@@ -15,18 +19,20 @@
 #   doubled densify_grad_threshold (0.0004): the reference's 0.0002 is
 #                         tuned for real captures; on this synthetic scene
 #                         it drove 7x over-densification.
-# Launch ONLY after stage3_corrective polish_postmerge validates the
-# AA+clean-budget recovery slope (docs/ROUND4_PLAN.md).
+#
+# Resumable: each stage checks its own output; the training stages run a
+# remaining-iteration retry loop so a backend flap (Aug-17/18 outage class)
+# or relaunch resumes from the last checkpoint instead of restarting.
 #
 # Usage: sh scripts/run_reference_schedule_1k.sh [run_dir]
-set -e
+set -x
+cd "$(dirname "$0")/.."
 RUN=${1:-_runs/syn150_1k}
 DATA="$RUN/data"
 OUT="$RUN/model"
 mkdir -p "$RUN"
 
 if [ ! -f "$DATA/sparse/0/points3D.bin" ]; then
-  echo "=== Generating synthetic dataset (150 strands, 16 cams, 1000^2) ==="
   python - "$DATA" <<'EOF'
 import sys
 from hairgs_tpu.data.synthetic import generate_dataset, synthetic_test_hair
@@ -39,19 +45,71 @@ fi
 
 COMMON="--max_tiles_per_gaussian 64 --freeze_tile_budget \
  --max_pairs_per_tile 2048 --capacity_round 131072 \
- --eval_frequency 10000 --antialiasing --logger none"
+ --eval_frequency 10000 --save_frequency 5000 \
+ --antialiasing --alpha_min 0.00001 --logger none"
 
-echo "=== Stage I: Gaussian splatting fit (30k) ==="
-python train.py -s "$DATA" -m "$OUT" $COMMON
+latest() {
+  ls "$OUT/point_cloud" 2>/dev/null | sed 's/iteration_//' | sort -n | tail -1
+}
 
-echo "=== Stage II: segment conversion + greedy merge ==="
-python merge.py -s "$DATA" -m "$OUT"
+# train from the current latest checkpoint up to $1 total iterations,
+# retrying across backend flaps (max 6 attempts); extra flags in $2...
+train_to() {
+  target=$1; shift
+  attempts=0
+  while :; do
+    cur=$(latest); cur=${cur:-0}
+    [ "$cur" -ge "$target" ] && return 0
+    attempts=$((attempts + 1))
+    [ "$attempts" -gt 6 ] && { echo "stuck at $cur (target $target)"; return 1; }
+    sh scripts/wait_backend.sh
+    python train.py -s "$DATA" -m "$OUT" $COMMON "$@" \
+      --iterations $((target - cur)) || true
+  done
+}
 
-echo "=== Stage III: strand-graph optimization (30k) ==="
-python train.py -s "$DATA" -m "$OUT" $COMMON \
-  --async_topology --densify_grad_threshold 0.0004
+# --- Stage I
+train_to 30000
 
-echo "=== Evaluation ==="
-LAST=$(ls "$OUT/point_cloud" | sed 's/iteration_//' | sort -n | tail -1)
-python eval.py -s "$DATA" -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT"
+# --- Stage II merge (adds its merge-pass iterations to the checkpoint id;
+#     the post-merge iteration is persisted so a relaunch after Stage III
+#     has started does not recompute it from a later checkpoint)
+S1=$(latest)
+if [ ! -f "$RUN/post_merge_iter.txt" ] && [ "${S1:-0}" -eq 30000 ]; then
+  sh scripts/wait_backend.sh
+  python merge.py -s "$DATA" -m "$OUT" && latest > "$RUN/post_merge_iter.txt"
+fi
+
+# --- Stage II.5: growth north-star recipe on the post-merge state (the
+#     measured positive lever: +0.013 F1 / +0.06 SC at 512^2), scored so
+#     the post-merge quality is on record before Stage III risks it.
+POST_MERGE=$(cat "$RUN/post_merge_iter.txt" 2>/dev/null)
+if [ "${POST_MERGE:-0}" -gt 30000 ] && [ ! -f "$RUN/growth_eval.txt" ]; then
+  python scripts/grow_and_save.py -s "$DATA" -m "$OUT" \
+    --base_iter "$POST_MERGE" --out "$RUN/grown_postmerge"
+  GLAST=$(ls "$RUN/grown_postmerge/point_cloud" 2>/dev/null \
+    | sed 's/iteration_//' | sort -n | tail -1)
+  [ -n "$GLAST" ] && python eval.py -s "$DATA" \
+    -p "$RUN/grown_postmerge/point_cloud/iteration_$GLAST/point_cloud.ply" \
+    -pt gs -m "$RUN/grown_postmerge" > "$RUN/growth_eval.txt" 2>&1
+fi
+
+# --- Stage III (from the post-merge graph; dispatch is by PLY element count)
+if [ "${POST_MERGE:-0}" -gt 30000 ]; then
+  train_to $((POST_MERGE + 30000)) \
+    --async_topology --densify_grad_threshold 0.0004
+fi
+
+# --- Evaluation (+ growth tail on the final state)
+LAST=$(latest)
+python eval.py -s "$DATA" \
+  -p "$OUT/point_cloud/iteration_$LAST/point_cloud.ply" -pt gs -m "$OUT" \
+  > "$RUN/final_eval.txt" 2>&1
+python scripts/grow_and_save.py -s "$DATA" -m "$OUT" --out "$RUN/grown_final"
+GLAST=$(ls "$RUN/grown_final/point_cloud" 2>/dev/null \
+  | sed 's/iteration_//' | sort -n | tail -1)
+[ -n "$GLAST" ] && python eval.py -s "$DATA" \
+  -p "$RUN/grown_final/point_cloud/iteration_$GLAST/point_cloud.ply" \
+  -pt gs -m "$RUN/grown_final" > "$RUN/grown_final_eval.txt" 2>&1
+date > "$RUN/done.txt"
 echo "=== DONE ==="
