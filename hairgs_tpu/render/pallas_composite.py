@@ -19,7 +19,11 @@ DISTWAR backward (backward_distwar.cu), replacing the pure-XLA scan compositor
   pipeline's per-step overhead over the 4k-tile grid;
 - all contractions are MXU-shaped: in-chunk prefix/suffix transmittance sums
   are triangular matmuls, color accumulation is (pixels x chunk) @
-  (chunk x channels).
+  (chunk x channels). Every dot runs at Precision.HIGHEST: the TPU MXU's
+  default f32 precision rounds operands to bf16 (2^-8 rel), which measured
+  as a 2.7e-3 image error vs the XLA scan oracle in the round-4 on-TPU
+  parity gate; the step is overhead/HBM-bound (BASELINE.md roofline), so
+  the extra MXU passes are not on the critical path.
 
 The backward writes per-pair gradients into the paged order (each tile owns
 its chunk-aligned page, so writes never touch another tile's slots) and the
@@ -205,6 +209,7 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 cum = jax.lax.dot_general(
                     l, upper_incl, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )  # inclusive prefix over the chunk
                 t_incl = trans[:] * jnp.exp(cum)
                 live = t_incl >= T_EPS
@@ -217,6 +222,7 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 accum[:] += jax.lax.dot_general(
                     feat, w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 new_trans = trans[:] * jnp.exp(
                     jnp.sum(jnp.where(live, l, 0.0), axis=1, keepdims=True)
@@ -332,6 +338,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 cum = jax.lax.dot_general(
                     l, upper_incl, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 trans_in = tstarts_ref[t_local * max_chunks + j, :][:, None]
                 t_incl = trans_in * jnp.exp(cum)
@@ -344,11 +351,13 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 fdotg = jax.lax.dot_general(
                     g_out, feat, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 wf = w * fdotg
                 suffix = jax.lax.dot_general(
                     wf, strict_upper, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 B = suffix + bcarry[:]
                 use = live & ok
@@ -368,6 +377,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 d_feat = jax.lax.dot_general(
                     g_out, w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 # photometric-only viewspace gradients (densification stats,
                 # reference train.py:173-177 semantics) into the aux rows —
@@ -379,11 +389,13 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                     fdotg2 = jax.lax.dot_general(
                         g_photo, feat, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                     wf2 = w * fdotg2
                     suffix2 = jax.lax.dot_general(
                         wf2, strict_upper, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                     B2 = suffix2 + bcarry2[:]
                     dalpha2 = jnp.where(

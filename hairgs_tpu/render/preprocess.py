@@ -63,7 +63,16 @@ def project_cov2d(mean3d, cov3d, world_view, focal_x, focal_y, tanfovx, tanfovy,
     t = mean3d @ Wm.T + world_view[:3, 3]
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
-    tz = t[..., 2]
+    # Guard the depth divisions BEFORE dividing: rows at/behind the camera
+    # plane (tz <= 0.2 is frustum-culled downstream, and arena PAD rows sit
+    # at the world origin, which IS a ring camera's plane) otherwise produce
+    # inf/overflow in the forward that `valid` masks — but the VJP still
+    # evaluates 0-cotangent * inf-derivative = NaN into xyz/scaling/rotation
+    # (round-4 on-TPU parity FAIL root cause; reproduced on CPU). The 0.19
+    # threshold sits strictly below the 0.2 frustum cull (with margin far
+    # above ulp reordering noise between this tz and preprocess's p_view_z),
+    # so every guarded row is culled and its (finite, garbage) cov is masked.
+    tz = jnp.where(t[..., 2] > 0.19, t[..., 2], 1.0)
     txtz = t[..., 0] / tz
     tytz = t[..., 1] / tz
     tx = jnp.clip(txtz, -limx, limx) * tz
