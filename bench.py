@@ -182,6 +182,7 @@ def build_bench(n_gaussians=100_000, width=999, height=1000, seed=0):
 
 def main():
     import argparse
+    from argparse import BooleanOptionalAction
 
     if not _wait_for_backend():
         if _fallback_from_runs():
@@ -212,17 +213,20 @@ def main():
     parser.add_argument("--chunk", type=int, default=128)
     parser.add_argument("--max_pairs", type=int, default=2048)
     parser.add_argument("--tiles_per_step", type=int, default=32)
-    parser.add_argument("--pair_capacity", type=int, default=0,
+    parser.add_argument("--pair_capacity", type=int, default=786432,
                         help="compact paged pair-table slots (0 = worst-case "
-                             "n*max_tiles sizing)")
+                             "n*max_tiles sizing). Default covers the bench "
+                             "scene's measured ~590k-slot demand with "
+                             "headroom (round-4 solo A/B: +12.8%% vs "
+                             "worst-case, bit-identical)")
     parser.add_argument("--no_stats", action="store_true",
                         help="compile densification-stats rows out of the "
                              "backward (post-densify regime)")
-    parser.add_argument("--sort_mode", default="lex",
-                        choices=["lex", "bucket"])
-    parser.add_argument("--dma_lookahead", action="store_true",
+    parser.add_argument("--dma_lookahead", action=BooleanOptionalAction,
+                        default=True,
                         help="cross-tile DMA prefetch in the compositor "
-                             "kernels (bit-identical scheduling change)")
+                             "kernels (bit-identical scheduling change, "
+                             "proven on hardware; default-on since r5)")
     parser.add_argument("--alpha_min", type=float, default=1.0 / 255.0,
                         help="per-pair alpha gate (reference 1/255); raising "
                              "it culls more pairs — a perf lever to A/B")
@@ -241,7 +245,6 @@ def main():
                        tiles_per_step=args.tiles_per_step,
                        pair_capacity=args.pair_capacity,
                        viewspace_stats=not args.no_stats,
-                       sort_mode=args.sort_mode,
                        dma_lookahead=args.dma_lookahead,
                        alpha_min=args.alpha_min)
     step_fn = make_gaussian_train_step(opt, cfg, width=width, height=height,

@@ -54,6 +54,13 @@ class OptimizationConfig:
     merge_angle_th_final: float = 40.0
     growth_interval: int = 100000
     growth_averaging_points: int = 3
+    # Round-5 in-loop growth safeguards (the measured Stage-II.5 recipe,
+    # BASELINE.md: 2 x 2mm tip events + merge pass = F1 0.5180 -> 0.5310;
+    # the reference's growing() is both broken and interval-disabled
+    # upstream, so these two knobs have no reference analogue):
+    growth_length: float = 0.002  # per-event tip extension (meters)
+    growth_max_events: int = 0  # stop in-loop growth after N events
+    # (0 = unlimited, the reference cadence semantics)
     # Densification
     percent_dense: float = 0.01
     opacity_reset_interval: int = 3000
@@ -98,9 +105,11 @@ class RuntimeConfig:
     # behavior: 6-9x padding at hair scale but never capacity-truncates);
     # >0 = fixed slot count (rounded up to the chunk)
     pair_capacity_round: int = 131072  # adaptive pair-capacity bucket granule
-    sort_mode: str = "lex"  # pair ordering machinery: "lex" (monolithic
-    # lexicographic sort) | "bucket" (depth-presort + blockwise tile
-    # buckets, bit-identical outputs with ~4x less sort work)
+    dma_lookahead: bool = True  # cross-tile DMA prefetch in the pallas
+    # compositor kernels. Scheduling-only: proven bit-identical (images AND
+    # grads) on real hardware by the round-5 parity gate, and +13% on the
+    # solo bench (_runs/perf_r4/bench_compact_lookahead.json) — default-on
+    # since round 5. XLA path ignores it.
     capacity_round: int = 4096
     use_pallas: str = "auto"  # auto: pallas kernels on TPU, XLA path elsewhere
     feat_bf16: bool = False  # bf16 feature plane in the pair table (~4% step

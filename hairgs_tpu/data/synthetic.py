@@ -15,14 +15,15 @@ dependency, runs on TPU, and produces the same dataset layout:
       hair_eval_data.npz
       head_reconstruction_data.npz
 
-Known deviation: the reference shades strands with Lambert lighting
-(OpenGLRenderer.py:52-61, use_lighting=True at parse_usc_hairsalon.py:159);
-here strands render with their raw palette colors (flat shading). The
-geometry/mask/orientation surfaces are identical; images are brighter and
-higher-contrast than GL output, which makes the photometric fit STRICTLY
-HARDER (saturated thin lines over black — see the masked-PSNR probe in
-BASELINE.md). Training and eval both use this generator, so the comparison
-is self-consistent.
+Lighting: `use_lighting=True` reproduces the reference's Lambert shading
+(OpenGLRenderer.py:52-61 fragment shader, enabled with white lights /
+ka=kd=0.5 / lightPos=(0,5,5) at parse_usc_hairsalon.py:103,159-162) on the
+splatted segments, with kNN-PCA point normals standing in for pytorch3d's
+estimate_pointcloud_normals (data/hair_data.py:124-128). The default stays
+flat-shaded so the seeded 512²/1k² scenes regenerate bit-identically across
+rounds; flat images are brighter/higher-contrast than GL output, which makes
+the photometric fit STRICTLY HARDER (saturated thin lines over black — see
+the masked-PSNR probe in BASELINE.md).
 """
 
 import math
@@ -48,8 +49,22 @@ from hairgs_tpu.render.renderer import RasterConfig, render
 
 
 def strand_segments_to_gaussians(hair: HairData, width_sigma: float = 1.5e-4,
-                                 opacity: float = 0.98, pval: float = 0.05):
-    """Convert GT polyline segments to splat parameters (one per edge)."""
+                                 opacity: float = 0.98, pval: float = 0.05,
+                                 use_lighting: bool = False,
+                                 light_pos=(0.0, 5.0, 5.0),
+                                 ka: float = 0.5, kd: float = 0.5):
+    """Convert GT polyline segments to splat parameters (one per edge).
+
+    use_lighting applies the reference's Lambert term to the segment colors
+    (OpenGLRenderer.py fragment shader: color * (ka*ambient +
+    kd*max(dot(n, normalize(lightPos - pos)), 0)*diffuse), white lights,
+    ka=kd=0.5 and lightPos=(0,5,5) as set at parse_usc_hairsalon.py:103,159-162).
+    Per-vertex normals come from hair.normals when the parser provides them,
+    else from kNN-PCA estimation (ops/knn.py) like reference
+    data/hair_data.py:124-128; a segment is shaded flat with its two
+    endpoints' mean normal at its midpoint (GL interpolates per-fragment,
+    indistinguishable at ~1px strand widths).
+    """
     factor = pval_to_dist_to_scale_factor(pval)
     p = hair.verts[hair.edges]  # (S,2,3)
     diff = (p[:, 1] - p[:, 0]).astype(np.float32)
@@ -65,6 +80,22 @@ def strand_segments_to_gaussians(hair: HairData, width_sigma: float = 1.5e-4,
     safe = np.where(ok[:, None], diff, v1)
     quats = np.asarray(quaternion_between_vectors(jnp.asarray(v1), jnp.asarray(safe)))
     colors = hair.colors[hair.edges[:, 0], :3].astype(np.float32)
+    if use_lighting:
+        if hair.normals is not None:
+            vnormals = np.asarray(hair.normals, np.float32)
+        else:
+            from hairgs_tpu.ops.knn import estimate_pointcloud_normals
+
+            vnormals = np.asarray(
+                estimate_pointcloud_normals(hair.verts), np.float32)
+        n_seg = vnormals[hair.edges].mean(axis=1)
+        n_seg = n_seg / np.maximum(
+            np.linalg.norm(n_seg, axis=1, keepdims=True), 1e-9)
+        ldir = np.asarray(light_pos, np.float32)[None, :] - xyz
+        ldir = ldir / np.maximum(np.linalg.norm(ldir, axis=1, keepdims=True),
+                                 1e-9)
+        lambert = ka + kd * np.maximum(np.sum(n_seg * ldir, axis=1), 0.0)
+        colors = colors * lambert[:, None].astype(np.float32)
     dirs = np.where(ok[:, None], diff / np.maximum(length, 1e-9), v1)
     return dict(
         means3d=xyz[ok],
@@ -136,12 +167,16 @@ def generate_dataset(
     init_points: str = "gt_hair_verts",
     init_subsample: int = 10,
     raster_cfg: Optional[RasterConfig] = None,
+    use_lighting: bool = False,
 ):
     """Write a complete training dataset from strand geometry.
 
     orientation_source: "analytic" (exact, from rendered direction channels)
     or "gabor" (reference parity path, utils/vision.py Gabor bank on rgb).
     init_points: "gt_hair_verts" | "strand_roots" — COLMAP points3D seed.
+    use_lighting: Lambert-shade segment colors like the reference's GL
+    pipeline (see strand_segments_to_gaussians); off by default so existing
+    seeded scenes stay bit-identical across rounds.
     """
     from PIL import Image as PILImage
 
@@ -162,7 +197,7 @@ def generate_dataset(
         focal_length_px=500.0 * width / 1000.0,
     )
 
-    gauss = strand_segments_to_gaussians(hair)
+    gauss = strand_segments_to_gaussians(hair, use_lighting=use_lighting)
     for cam_id, cam in cameras.items():
         rgb, mask, theta, conf = render_strand_view(
             gauss, cam, extrinsics[cam_id], raster_cfg

@@ -63,3 +63,25 @@ def mean_sq_dist_3nn(points, valid=None, chunk: int = 1024):
     d, _ = knn(points, points, k=4, valid=valid, chunk=chunk)
     # first hit is self (distance 0)
     return jnp.mean(d[:, 1:4], axis=1)
+
+
+def estimate_pointcloud_normals(points, k: int = 50, chunk: int = 1024):
+    """Per-point normals via kNN-PCA.
+
+    Parity target: pytorch3d `estimate_pointcloud_normals`
+    (pytorch3d/ops/points_normals.py, used at reference
+    data/hair_data.py:127 to light the USC synthetic renders): each point's
+    normal is the eigenvector of its k-neighborhood covariance with the
+    smallest eigenvalue. The self-match counts as a neighbor (knn returns it
+    at distance 0, same as pytorch3d's knn_points). Sign is arbitrary — the
+    reference runs without orientation disambiguation and its Lambert term
+    clamps at 0, so half the strands go ambient-only there too.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    k = min(k, pts.shape[0])
+    _, idx = knn(pts, pts, k, chunk=chunk)
+    nbrs = pts[idx]  # (N, k, 3)
+    centered = nbrs - nbrs.mean(axis=1, keepdims=True)
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    _, vecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    return vecs[..., 0]  # (N, 3), unit norm by construction

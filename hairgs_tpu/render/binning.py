@@ -205,126 +205,6 @@ def _page_tiles(counts, chunk, p_pad, pair_capacity):
     return counts, padded_starts, overflow_capacity, pairs_demand
 
 
-BUCKET_BLOCK = 4096  # within-block sort width for sort_mode="bucket"
-
-
-def _bucket_build(rect, valid, dq, grid_w, grid_h, r_max, max_pairs_per_tile,
-                  chunk, p_pad, xy=None, conic=None, q_cut=None,
-                  tile_size=16, pair_capacity=0):
-    """Blockwise stable tile-bucket pair build (sort_mode="bucket").
-
-    Produces bit-identical SortedBinning outputs to the "lex" mode with a
-    fraction of the sort work:
-
-    1. stable-sort the N gaussians by quantized depth (an r_max-times
-       smaller sort than the pair key sort) and enumerate pairs in
-       depth-major order — within any tile, enumeration order IS the
-       (depth, original-pair-index) order the lexicographic key produces;
-    2. reshape the P pair tile-ids to (nb, BUCKET_BLOCK) and stable-sort
-       each block by tile along the block axis (log2(B)^2 comparator
-       passes over P elements instead of log2(P)^2 — ~4x less at hair
-       scale, the dominant prep+bin cost on TPU);
-    3. per-(block, tile) counts via vmapped searchsorted on the sorted
-       blocks; exclusive cumsum across blocks gives each block's base rank
-       per tile, replacing the per-position segment-cumsum tables with
-       three cheap gathers;
-    4. the same two final int32 scatters as "lex" materialize
-       paged_src / inv_paged.
-
-    TPU analogue of CUB's two-level radix sort (rasterizer_impl.cu:277-308).
-    """
-    n = rect.shape[0]
-    num_tiles = grid_w * grid_h
-    p = n * r_max
-
-    # 1. depth-major gaussian order (stable: depth ties keep original order,
-    # matching the lex key's stable fallback to pair index)
-    g_idx = jnp.arange(n, dtype=jnp.int32)
-    _, depth_perm = jax.lax.sort((dq, g_idx), num_keys=1, is_stable=True)
-
-    def g(a):
-        return None if a is None else a[depth_perm]
-
-    tile, overflow_pairs = _expand_pairs(
-        rect[depth_perm], valid[depth_perm], grid_w, grid_h, r_max,
-        xy=g(xy), conic=g(conic), q_cut=g(q_cut), tile_size=tile_size,
-    )
-
-    # 2. blockwise stable tile sort (sentinel num_tiles sorts last)
-    B = BUCKET_BLOCK
-    nb = (p + B - 1) // B
-    tile_flat = tile.reshape(-1)
-    if nb * B != p:
-        tile_flat = jnp.concatenate(
-            [tile_flat, jnp.full(nb * B - p, num_tiles, tile_flat.dtype)])
-    tb = tile_flat.reshape(nb, B)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (nb, B), 1)
-    tb_sorted, pos_sorted = jax.lax.sort(
-        (tb, pos), dimension=1, num_keys=1, is_stable=True)
-
-    # 3. per-(block, tile) ranks. starts_all[b, t] = first position of tile
-    # t in sorted block b (nt+1 queries so the sentinel gathers in-range).
-    tile_ids = jnp.arange(num_tiles + 1, dtype=tb_sorted.dtype)
-    starts_all = jax.vmap(
-        lambda row: jnp.searchsorted(row, tile_ids, side="left")
-    )(tb_sorted).astype(jnp.int32)  # (nb, nt+1)
-    counts_blk = jnp.diff(
-        jnp.concatenate([starts_all, jnp.full((nb, 1), B, jnp.int32)], axis=1),
-        axis=1,
-    )[:, :num_tiles]  # (nb, nt): sentinel tail excluded
-    # base rank of each block's tile-t run = pairs of tile t in EARLIER
-    # blocks (enumeration order across blocks = depth-major order)
-    block_base = jnp.cumsum(counts_blk, axis=0) - counts_blk  # exclusive
-    raw_counts = block_base[-1] + counts_blk[-1]  # (nt,)
-
-    overflow_tiles = jnp.sum(jnp.maximum(raw_counts - max_pairs_per_tile, 0))
-    counts = jnp.minimum(raw_counts, max_pairs_per_tile)
-    counts, padded_starts, overflow_capacity, pairs_demand = _page_tiles(
-        counts, chunk, p_pad, pair_capacity)
-
-    # per-element global rank within its tile + destination slot (pos is the
-    # 0..B-1 row iota, so indexed post-sort it reads as the sorted position)
-    in_rank = pos - jnp.take_along_axis(starts_all, tb_sorted, axis=1)
-    base_pad = jnp.concatenate(
-        [block_base, jnp.zeros((nb, 1), jnp.int32)], axis=1)
-    grank = in_rank + jnp.take_along_axis(base_pad, tb_sorted, axis=1)
-    is_tile = tb_sorted < num_tiles
-    counts_pad = jnp.concatenate([counts, jnp.zeros(1, jnp.int32)])
-    starts_pad = jnp.concatenate([padded_starts, jnp.zeros(1, jnp.int32)])
-    ok = is_tile & (grank < counts_pad[tb_sorted])
-    dest = starts_pad[tb_sorted] + grank
-
-    # 4. original pair index of each sorted element (pairs were enumerated
-    # over depth-sorted gaussians: flat = depth_rank * r_max + slot)
-    flat_sorted = (jax.lax.broadcasted_iota(jnp.int32, (nb, B), 0) * B
-                   + pos_sorted)
-    g_sorted = jnp.minimum(flat_sorted // r_max, n - 1)
-    orig_idx = depth_perm[g_sorted] * r_max + flat_sorted % r_max
-    in_range = flat_sorted < p
-
-    paged_src = jnp.full(p_pad, p, jnp.int32).at[
-        jnp.where(ok & in_range, dest, p_pad).reshape(-1)
-    ].set(orig_idx.reshape(-1), mode="drop")
-    # culled pairs target the final spare chunk (always zero in the grads)
-    inv_paged = jnp.zeros(p, jnp.int32).at[
-        jnp.where(in_range, orig_idx, p).reshape(-1)
-    ].set(
-        jnp.where(ok, dest, p_pad - chunk).reshape(-1).astype(jnp.int32),
-        mode="drop",
-    )
-
-    return SortedBinning(
-        paged_src=paged_src,
-        inv_paged=inv_paged,
-        starts=padded_starts,
-        counts=counts,
-        overflow_pairs=overflow_pairs,
-        overflow_tiles=overflow_tiles,
-        overflow_capacity=overflow_capacity,
-        pairs_demand=pairs_demand,
-    )
-
-
 def bin_gaussians_sorted(
     rect: jnp.ndarray,
     depth: jnp.ndarray,
@@ -339,7 +219,6 @@ def bin_gaussians_sorted(
     q_cut=None,
     tile_size: int = 16,
     pair_capacity: int = 0,
-    sort_mode: str = "lex",
 ) -> SortedBinning:
     """Sort-based binning emitting a chunk-aligned paged layout + ranges
     (for the Pallas path — no (num_tiles, K) materialization).
@@ -355,17 +234,13 @@ def bin_gaussians_sorted(
     (uncapped) padded demand reported in pairs_demand so a driver can size
     the next bucket in one jump.
 
-    sort_mode selects the P-sized ordering machinery (identical outputs):
-    - "lex": one stable lexicographic lax.sort over the fused
-      [tile|quantized-depth] int32 key of ALL P pair slots.
-    - "bucket": depth-presort of the N gaussians (r_max-times smaller sort)
-      so pair enumeration is already depth-major, then a blockwise stable
-      tile-bucket build — within-block sorts of BUCKET_BLOCK elements cost
-      ~log2(B)^2 comparator passes vs ~log2(P)^2 for the monolithic sort
-      (~4x less sort work at hair scale), and the per-position segment
-      cumsum tables are replaced by cheap gathers of per-(block, tile)
-      offsets. This is the TPU analogue of the CUB two-level radix sort
-      (rasterizer_impl.cu:277-308).
+    Ordering: one stable lexicographic lax.sort over the fused
+    [tile|quantized-depth] int32 key of ALL P pair slots. A blockwise
+    two-level "bucket" variant (TPU analogue of CUB's radix sort,
+    rasterizer_impl.cu:277-308) was built and DELETED in round 5: it
+    measured 4x SLOWER on hardware (2.81 vs 10.19 it/s solo,
+    _runs/perf_r4/bench_compact_bucket.json) and the monolithic sort is
+    only ~1.5 ms of a ~60 ms step — no headroom worth the trap.
     """
     n = rect.shape[0]
     r_max = max_tiles_per_gaussian
@@ -384,13 +259,6 @@ def bin_gaussians_sorted(
     levels = (1 << depth_bits) - 1
     d = jax.lax.stop_gradient(depth)
     dq = (jnp.clip(d / (d + 1.0), 0.0, 1.0) * levels).astype(jnp.int32)
-
-    if sort_mode == "bucket":
-        return _bucket_build(
-            rect, valid, dq, grid_w, grid_h, r_max, max_pairs_per_tile,
-            chunk, p_pad, xy=xy, conic=conic, q_cut=q_cut,
-            tile_size=tile_size, pair_capacity=pair_capacity)
-    assert sort_mode == "lex", f"unknown sort_mode {sort_mode!r}"
 
     tile, overflow_pairs = _expand_pairs(
         rect, valid, grid_w, grid_h, r_max,

@@ -65,10 +65,6 @@ class RasterConfig:
     # them off once densification stops (the reference stops at 0.9*iters,
     # arguments/__init__.py:103) — drivers rebuild the step at the boundary.
     viewspace_stats: bool = True
-    # pair ordering machinery: "lex" = one stable P-sized lexicographic
-    # sort; "bucket" = depth-presorted gaussians + blockwise tile buckets
-    # (bit-identical outputs, ~4x less sort work — see binning._bucket_build)
-    sort_mode: str = "lex"
     # cross-tile DMA lookahead in the pallas compositor: issue the next
     # tile's input copies on an alternate slot bank before this tile's
     # compute, hiding the DMA-latency bubble at every tile switch (tiles
@@ -167,7 +163,6 @@ def render(
             conic=jax.lax.stop_gradient(prep.conic), q_cut=q_cut,
             tile_size=ts,
             pair_capacity=config.pair_capacity,
-            sort_mode=config.sort_mode,
         )
         # NaN hygiene for inactive rows (mirrors the XLA path's slot zeroing)
         feat_eff = jnp.where(prep.valid[:, None], features, 0.0)

@@ -3,7 +3,7 @@
 decision table for the round-4 perf-knob defaults.
 
 The knobs shipped default-off pending solo-chip data (CLAUDE.md round-4
-state): --pair_capacity (compact paged pair table), --sort_mode bucket,
+state): --pair_capacity (compact paged pair table),
 --dma_lookahead. A knob is recommended ON when its single-lever A/B beats
 the round-3 baseline config by >3% (beyond shared-chip noise; these are
 solo artifacts, but compile-cache and clock jitter still wiggle ~1-2%) AND
@@ -65,7 +65,6 @@ def main():
     decisions = []
     for label, flag in [
         ("compact table", "pair_capacity adaptive (0)"),
-        ("compact+bucket", "sort_mode=bucket"),
         ("compact+lookahead", "dma_lookahead=True"),
     ]:
         v = vals.get(label)

@@ -31,11 +31,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n", type=int, default=20_000)
     ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--paths", default="pallas,xla",
-                    help="comma list: pallas,xla (pallas is interpret-mode "
-                         "on CPU and slow at full scale)")
+    ap.add_argument("--paths", default=None,
+                    help="comma list: pallas,xla (default both; with --cpu "
+                         "defaults to xla only — pallas is interpret-mode "
+                         "on CPU and impractically slow at full scale)")
     ap.add_argument("--skip_precision", action="store_true")
     args = ap.parse_args()
+    if args.paths is None:
+        args.paths = "xla" if args.cpu else "pallas,xla"
 
     if args.cpu:
         import jax
@@ -70,9 +73,20 @@ def main():
                 continue
             nn = int(jnp.sum(jnp.isnan(a)))
             ni = int(jnp.sum(jnp.isinf(a)))
+            # split by active row: capacity_round pads the arena, and
+            # nonfinites confined to pad rows are a different (benign-er)
+            # finding than nonfinites on live gaussians
+            bad = jnp.isnan(a) | jnp.isinf(a)
+            if a.shape[0] == model.active.shape[0]:
+                act_mask = model.active.reshape(
+                    (-1,) + (1,) * (a.ndim - 1))
+                na = int(jnp.sum(bad & act_mask))
+            else:
+                na = nn + ni
             mx = float(jnp.max(jnp.where(jnp.isfinite(a), jnp.abs(a), 0.0)))
             flag = "  <-- NONFINITE" if nn or ni else ""
-            print(f"    {k:14s} nan={nn:6d} inf={ni:6d} max|g|={mx:.3e}{flag}")
+            print(f"    {k:14s} nan={nn:6d} inf={ni:6d} active={na:6d} "
+                  f"max|g|={mx:.3e}{flag}")
         return img, g
 
     paths = args.paths.split(",")

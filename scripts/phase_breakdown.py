@@ -57,7 +57,6 @@ def main():
     p.add_argument("--no_stats", action="store_true",
                    help="compile the densification-stats rows out of the "
                         "backward (viewspace_stats=False)")
-    p.add_argument("--sort_mode", default="lex", choices=["lex", "bucket"])
     p.add_argument("--dma_lookahead", action="store_true")
     p.add_argument("--alpha_min", type=float, default=1.0 / 255.0,
                    help="per-pair alpha gate; raising it culls more pairs "
@@ -93,7 +92,6 @@ def main():
                        tiles_per_step=args.tiles_per_step,
                        pair_capacity=args.pair_capacity,
                        viewspace_stats=not args.no_stats,
-                       sort_mode=args.sort_mode,
                        dma_lookahead=args.dma_lookahead,
                        alpha_min=args.alpha_min)
     ts = cfg.tile_size
@@ -111,7 +109,7 @@ def main():
             prep.rect, prep.depth, prep.valid, gw, gh,
             cfg.max_tiles_per_gaussian, cfg.max_pairs_per_tile, cfg.chunk,
             xy=prep.xy, conic=prep.conic, q_cut=q_cut,
-            pair_capacity=cfg.pair_capacity, sort_mode=cfg.sort_mode)
+            pair_capacity=cfg.pair_capacity)
         return (jnp.sum(b.counts), b.overflow_pairs, b.overflow_tiles,
                 b.pairs_demand)
 

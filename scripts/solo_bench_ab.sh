@@ -16,15 +16,11 @@ python bench.py | tee "$OUT/bench_r16_f32.json"
 # single levers (capacity constant: ~590k slots demand at bench scale,
 # measured by phase_breakdown round 3 -> 786432 budget)
 python bench.py --pair_capacity 786432 | tee "$OUT/bench_compact.json"
-python bench.py --pair_capacity 786432 --sort_mode bucket \
-  | tee "$OUT/bench_compact_bucket.json"
 python bench.py --pair_capacity 786432 --dma_lookahead \
   | tee "$OUT/bench_compact_lookahead.json"
 
-# combined + the post-densify regime (stats compiled out)
-python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
-  | tee "$OUT/bench_all_levers.json"
-python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
+# the post-densify regime (stats compiled out)
+python bench.py --pair_capacity 786432 --dma_lookahead \
   --no_stats | tee "$OUT/bench_all_levers_nostats.json"
 
 # re-capture the DEFAULT config last so the freshest bench_*.json (which

@@ -23,16 +23,12 @@ echo "=== bench r16/f32 + compact + no stats (post-densify regime) ==="
 python bench.py --pair_capacity 786432 --no_stats \
   | tee "$OUT/bench_compact_nostats.json"
 
-echo "=== bench r16/f32 + compact + bucket sort ==="
-python bench.py --pair_capacity 786432 --sort_mode bucket \
-  | tee "$OUT/bench_compact_bucket.json"
-
 echo "=== bench r16/f32 + compact + DMA lookahead ==="
 python bench.py --pair_capacity 786432 --dma_lookahead \
   | tee "$OUT/bench_compact_lookahead.json"
 
-echo "=== bench r16/f32 + ALL levers (compact+bucket+lookahead) ==="
-python bench.py --pair_capacity 786432 --sort_mode bucket --dma_lookahead \
+echo "=== bench r16/f32 + ALL levers (compact+lookahead) ==="
+python bench.py --pair_capacity 786432 --dma_lookahead \
   | tee "$OUT/bench_all_levers.json"
 
 echo "=== breakdown bench scale, worst-case + binning sub-phases ==="
@@ -59,12 +55,6 @@ python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
   --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
   --aniso --scale_lo 3e-4 --pair_capacity 917504 --no_stats \
   | tee "$OUT/breakdown_hair_compact_nostats.json"
-
-echo "=== breakdown hair scale, compact + bucket sort ==="
-python scripts/phase_breakdown.py --n_gaussians 655360 --width 512 \
-  --height 512 --max_tiles 8 --max_pairs 1024 --feat_bf16 --iters 10 \
-  --aniso --scale_lo 3e-4 --pair_capacity 917504 --sort_mode bucket \
-  | tee "$OUT/breakdown_hair_compact_bucket.json"
 
 echo "=== kernel-only microbench: lookahead + tps sweep at hair-like skew ==="
 python scripts/kernel_microbench.py --grid 32 --mean_chunks 4 \

@@ -295,3 +295,69 @@ class TestAsyncTopologyDriver:
         assert os.path.exists(os.path.join(
             model_path, "point_cloud",
             f"iteration_{scene4.loaded_iter + 60}", "point_cloud.ply"))
+
+
+class TestLambertLighting:
+    """use_lighting parity surface (reference OpenGLRenderer.py:52-61 +
+    parse_usc_hairsalon.py:159-162): kNN-PCA normals and the flag-gated
+    Lambert term on segment colors."""
+
+    def test_pca_normals_on_a_plane(self):
+        # points sampled on z=0 must get +-z normals, unit length
+        from hairgs_tpu.ops.knn import estimate_pointcloud_normals
+
+        rng = np.random.default_rng(0)
+        pts = np.zeros((200, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, (200, 2))
+        n = np.asarray(estimate_pointcloud_normals(pts, k=16))
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+        assert np.all(np.abs(n[:, 2]) > 0.99)
+
+    def test_lambert_darkens_within_bounds(self):
+        # ka=kd=0.5 white lights: lit colors = flat * f with f in [0.5, 1.0]
+        from hairgs_tpu.data.synthetic import (
+            strand_segments_to_gaussians,
+            synthetic_test_hair,
+        )
+
+        hair = synthetic_test_hair(num_strands=10, points_per_strand=6, seed=3)
+        flat = strand_segments_to_gaussians(hair)
+        lit = strand_segments_to_gaussians(hair, use_lighting=True)
+        f = lit["colors"] / np.maximum(flat["colors"], 1e-9)
+        assert f.min() >= 0.5 - 1e-5 and f.max() <= 1.0 + 1e-5
+        # per-segment factor is shared across channels
+        np.testing.assert_allclose(f[:, 0], f[:, 1], atol=1e-5)
+        # and the scene is actually shaded, not uniformly scaled
+        assert f[:, 0].std() > 1e-3
+        # geometry untouched
+        np.testing.assert_array_equal(flat["means3d"], lit["means3d"])
+
+    def test_generate_dataset_lit_images_differ(self, dataset, tmp_path):
+        from PIL import Image
+
+        from hairgs_tpu.data.synthetic import (
+            generate_dataset,
+            synthetic_test_hair,
+        )
+
+        hair = synthetic_test_hair(num_strands=20, points_per_strand=8, seed=1)
+        out = str(tmp_path / "lit")
+        # identical geometry/camera/raster setup to the module fixture so
+        # only the lighting differs
+        generate_dataset(out, hair, num_cameras=2, width=64, height=64,
+                         cam_z=0.35, init_points="gt_hair_verts",
+                         init_subsample=3,
+                         raster_cfg=RasterConfig(max_tiles_per_gaussian=8,
+                                                 max_pairs_per_tile=128,
+                                                 chunk=16),
+                         use_lighting=True)
+        a = np.asarray(Image.open(os.path.join(dataset, "images", "image_1.png")),
+                       np.float32)
+        b = np.asarray(Image.open(os.path.join(out, "images", "image_1.png")),
+                       np.float32)
+        # same coverage, darker hair pixels
+        am = np.asarray(Image.open(os.path.join(dataset, "masks", "image_1.png")))
+        bm = np.asarray(Image.open(os.path.join(out, "masks", "image_1.png")))
+        np.testing.assert_array_equal(am, bm)
+        assert b.sum() < a.sum()
+        assert np.any(a != b)

@@ -146,94 +146,3 @@ class TestAnisotropicTileCull:
                                    np.asarray(img_naive), atol=3e-5)
 
 
-class TestBucketSortMode:
-    """sort_mode="bucket" (depth-presorted gaussians + blockwise tile
-    buckets) must reproduce the "lex" (monolithic lexicographic sort)
-    SortedBinning bit-for-bit — same paged layout, same mapping in both
-    directions, same overflow accounting — across cull/no-cull, capacity
-    truncation, tile-cap overflow and block-boundary padding."""
-
-    def _binning_pair(self, n=200, seed=3, r_max=8, max_pairs=64, chunk=16,
-                      pair_capacity=0, cull=True, scale_hi=3e-3):
-        from hairgs_tpu.render.binning import bin_gaussians_sorted
-        from hairgs_tpu.render.preprocess import preprocess
-        from hairgs_tpu.core.camera import make_camera
-
-        rng = np.random.default_rng(seed)
-        means = np.zeros((n, 3), np.float32)
-        means[:, 0] = rng.uniform(-0.3, 0.3, n)
-        means[:, 1] = rng.uniform(-0.3, 0.3, n)
-        means[:, 2] = rng.uniform(1.5, 3.0, n)
-        scales = rng.uniform(3e-4, scale_hi, (n, 3)).astype(np.float32)
-        q = rng.normal(size=(n, 4)).astype(np.float32)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        opacity = rng.uniform(0.3, 0.9, n).astype(np.float32)
-        cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=1.0)
-        ts = 16
-        gw = (WIDTH + ts - 1) // ts
-        gh = (HEIGHT + ts - 1) // ts
-        prep = preprocess(jnp.asarray(means), jnp.asarray(scales),
-                          jnp.asarray(q), cam, WIDTH, HEIGHT, ts,
-                          opacity=jnp.asarray(opacity))
-        kw = {}
-        if cull:
-            kw = dict(xy=prep.xy, conic=prep.conic,
-                      q_cut=jnp.log(jnp.maximum(jnp.asarray(opacity), 1e-12)
-                                    * 255.0))
-        outs = []
-        for mode in ("lex", "bucket"):
-            outs.append(bin_gaussians_sorted(
-                prep.rect, prep.depth, prep.valid, gw, gh, r_max, max_pairs,
-                chunk, tile_size=ts, pair_capacity=pair_capacity,
-                sort_mode=mode, **kw))
-        return outs
-
-    def _assert_equal(self, lex, bucket):
-        for name in lex._fields:
-            a, b = getattr(lex, name), getattr(bucket, name)
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b),
-                err_msg=f"sort_mode mismatch in field {name}")
-
-    def test_bit_identical_with_cull(self):
-        lex, bucket = self._binning_pair()
-        assert int(jnp.sum(lex.counts)) > 0
-        self._assert_equal(lex, bucket)
-
-    def test_bit_identical_no_cull(self):
-        lex, bucket = self._binning_pair(cull=False, seed=5)
-        self._assert_equal(lex, bucket)
-
-    def test_bit_identical_under_tile_cap_overflow(self):
-        # big splats + small per-tile cap: deepest pairs must be dropped
-        # in the same order by both modes
-        lex, bucket = self._binning_pair(n=300, max_pairs=16, seed=7,
-                                         scale_hi=2e-2)
-        assert int(lex.overflow_tiles) > 0
-        self._assert_equal(lex, bucket)
-
-    def test_bit_identical_under_capacity_truncation(self):
-        lex, bucket = self._binning_pair(pair_capacity=8 * 16, seed=9)
-        assert int(lex.overflow_capacity) > 0
-        self._assert_equal(lex, bucket)
-
-    def test_bit_identical_at_block_boundary(self):
-        # p = n * r_max exactly equal to / just above BUCKET_BLOCK
-        from hairgs_tpu.render import binning as B
-
-        for n in (B.BUCKET_BLOCK // 8, B.BUCKET_BLOCK // 8 + 1):
-            lex, bucket = self._binning_pair(n=n, seed=n)
-            self._assert_equal(lex, bucket)
-
-    def test_render_equal_through_pallas_path(self):
-        cfg = dataclasses.replace(CFG, use_pallas=True)
-        cfg_b = dataclasses.replace(cfg, sort_mode="bucket")
-        cam, (means, scales, q, opacity, features) = make_scene(n=50)
-        out_l = render(cam, means3d=means, scales=scales, rotations=q,
-                       opacity=opacity, features=features,
-                       width=WIDTH, height=HEIGHT, config=cfg)
-        out_b = render(cam, means3d=means, scales=scales, rotations=q,
-                       opacity=opacity, features=features,
-                       width=WIDTH, height=HEIGHT, config=cfg_b)
-        np.testing.assert_array_equal(np.asarray(out_l["render"]),
-                                      np.asarray(out_b["render"]))

@@ -108,6 +108,43 @@ class PairCapacityController:
         return None
 
 
+class TilePairCapController:
+    """Adaptive per-tile pair cap (RasterConfig.max_pairs_per_tile).
+
+    Round-3's post-mortem identified tile-cap overflow (deepest pairs of a
+    saturated tile silently dropped, so the GT behind them gets no gradient)
+    as the Stage-III quality killer, and round 4's Stage-I campaign leg ran
+    at a sustained ~10k dropped pairs/step (VERDICT r4 item 6). This grows
+    the cap ×2 (alignment-preserving: the pallas layout needs a multiple of
+    8*chunk, and the base already is one) whenever a sync drops more than
+    `grow_frac` of the step's real pair demand, and shrinks back toward the
+    base after `shrink_after` consecutive clean syncs. The 0.1% grow_frac is
+    the overflow-zero premise of the corrective recipe (BASELINE.md).
+    """
+
+    def __init__(self, base, cap=8192, grow_frac=0.001, shrink_after=50):
+        self.base = base
+        self.cap = cap
+        self.grow_frac = grow_frac
+        self.shrink_after = shrink_after
+        self.clean_syncs = 0
+
+    def update(self, overflow_tiles, pairs_demand, max_pairs):
+        """Returns the new per-tile cap, or None when no change is needed."""
+        if (overflow_tiles > self.grow_frac * max(pairs_demand, 1)
+                and max_pairs < self.cap):
+            self.clean_syncs = 0
+            return min(max_pairs * 2, self.cap)
+        if overflow_tiles == 0:
+            self.clean_syncs += 1
+            if self.clean_syncs >= self.shrink_after and max_pairs > self.base:
+                self.clean_syncs = 0
+                return max_pairs // 2
+        else:
+            self.clean_syncs = 0
+        return None
+
+
 def prepare_output_path(args):
     """utils/system.py:41-54 — default ./output/<uuid>, persist cfg_args."""
     if not args.model_path:
@@ -190,26 +227,27 @@ def training(mp, op, gp, rt, args):
         est = 3 * model.capacity + (num_tiles + 1) * rt.composite_chunk
         return cap_ctl.bucket(est / cap_ctl.headroom)
 
-    def make_raster_cfg(max_tiles, pair_cap=None):
+    def make_raster_cfg(max_tiles, pair_cap=None, max_pairs=None):
         pallas_on = bool(use_pallas) and use_pallas != "false"
+        max_pairs = rt.max_pairs_per_tile if max_pairs is None else max_pairs
         if pallas_on and jax.default_backend() == "tpu":
             # fail at startup, not after the 5-10 min scene load + compile:
             # the pallas table layouts need max_chunks in sublane multiples
-            assert (rt.max_pairs_per_tile % rt.composite_chunk == 0
-                    and (rt.max_pairs_per_tile // rt.composite_chunk) % 8 == 0), (
+            assert (max_pairs % rt.composite_chunk == 0
+                    and (max_pairs // rt.composite_chunk) % 8 == 0), (
                 f"pallas path needs max_pairs_per_tile to be a multiple of "
-                f"8*composite_chunk (got {rt.max_pairs_per_tile}/"
+                f"8*composite_chunk (got {max_pairs}/"
                 f"{rt.composite_chunk})")
         return RasterConfig(
             max_tiles_per_gaussian=max_tiles,
-            max_pairs_per_tile=rt.max_pairs_per_tile,
+            max_pairs_per_tile=max_pairs,
             chunk=rt.composite_chunk,
             use_pallas=pallas_on,
             feat_bf16=rt.feat_bf16,
             antialiasing=rt.antialiasing,
             alpha_min=rt.alpha_min,
             viewspace_stats=stats_enabled,
-            sort_mode=rt.sort_mode,
+            dma_lookahead=rt.dma_lookahead and pallas_on,
             # compact tables only exist on the paged pallas layout; the XLA
             # path ignores them, and a positive value there would only feed
             # the capacity controller zeros and trigger a pointless recompile
@@ -473,10 +511,19 @@ def training(mp, op, gp, rt, args):
     report_interval = 50
     rt.log_interval = max(1, rt.log_interval)
     budget_ctl = TileBudgetController(rt.max_tiles_per_gaussian)
+    tilecap_ctl = TilePairCapController(rt.max_pairs_per_tile)
     start_time = time.time()
     iteration = 0
     prev_iter = 0
     step_count = 0
+    growth_events_done = 0
+
+    def grow_allowed():
+        # the measured Stage-II.5 recipe caps growth at N events (the F1
+        # gain saturates at 2 and precision erodes past it — BASELINE.md);
+        # 0 keeps the reference's uncapped cadence semantics
+        return (op.growth_max_events <= 0
+                or growth_events_done < op.growth_max_events)
 
     def crossed(interval):
         """Did this step cross an interval boundary? For view_batch=1 this is
@@ -523,7 +570,8 @@ def training(mp, op, gp, rt, args):
                 and iteration >= op.densify_until_iter):
             stats_enabled = False
             raster_cfg = make_raster_cfg(raster_cfg.max_tiles_per_gaussian,
-                                         raster_cfg.pair_capacity)
+                                         raster_cfg.pair_capacity,
+                                         raster_cfg.max_pairs_per_tile)
             step_fn = build_step()
             if not gp.quiet:
                 print(f"[raster] iter {iteration}: densify window closed — "
@@ -599,7 +647,8 @@ def training(mp, op, gp, rt, args):
                 print(f"[raster] iter {iteration}: {overflow_pairs} truncated "
                       f"pairs — {verb} max_tiles_per_gaussian to {new_budget}")
                 raster_cfg = make_raster_cfg(new_budget,
-                                             raster_cfg.pair_capacity)
+                                             raster_cfg.pair_capacity,
+                                             raster_cfg.max_pairs_per_tile)
                 step_fn = build_step()
                 # persist the converged budget so a resumed run compiles once
                 # instead of re-walking the 16->32->64 ladder (each recompile
@@ -621,9 +670,29 @@ def training(mp, op, gp, rt, args):
                           f"(capacity-truncated {overflow_cap}) — {verb} "
                           f"pair_capacity to {new_cap}")
                     raster_cfg = make_raster_cfg(
-                        raster_cfg.max_tiles_per_gaussian, new_cap)
+                        raster_cfg.max_tiles_per_gaussian, new_cap,
+                        raster_cfg.max_pairs_per_tile)
                     step_fn = build_step()
             overflow_tiles = int(m["overflow_tiles"])
+            # per-tile pair cap: grow on sustained tile-cap drops (gradient
+            # starvation of the deepest pairs — the round-3 quality killer),
+            # shrink back after a long clean streak
+            new_mp = None if rt.freeze_tile_budget else tilecap_ctl.update(
+                overflow_tiles, int(m.get("pairs_demand", 0)),
+                raster_cfg.max_pairs_per_tile)
+            if new_mp is not None:
+                verb = ("raising" if new_mp > raster_cfg.max_pairs_per_tile
+                        else "shrinking")
+                print(f"[raster] iter {iteration}: {overflow_tiles} tile-cap "
+                      f"dropped pairs — {verb} max_pairs_per_tile to {new_mp}")
+                raster_cfg = make_raster_cfg(
+                    raster_cfg.max_tiles_per_gaussian,
+                    raster_cfg.pair_capacity, new_mp)
+                step_fn = build_step()
+                # persist like the tile budget: a resumed run compiles the
+                # converged cap once instead of re-walking the ladder
+                args.max_pairs_per_tile = new_mp
+                save_cfg_args(args.model_path, args)
             overflow_cap_n = int(m.get("overflow_capacity", 0))
             overflow = overflow_tiles + overflow_pairs + overflow_cap_n
             if overflow and not gp.quiet:
@@ -658,14 +727,15 @@ def training(mp, op, gp, rt, args):
             due_merge = crossed(op.merge_interval)
             due_reset = (iteration < op.densify_until_iter
                          and crossed(op.opacity_reset_interval))
-            due_grow = crossed(op.growth_interval)
+            due_grow = crossed(op.growth_interval) and grow_allowed()
             force = due_reset or due_grow or iteration >= op.iterations
             if topo_worker.poll(force=force, training_info=info):
                 topo_changed = True
             if due_reset:
                 hair_reset_opacity(model)
             if due_grow:
-                hair_growing(model, info)
+                hair_growing(model, info, growth_length=op.growth_length)
+                growth_events_done += 1
                 topo_changed = True
             if due_densify or due_merge:
                 size_th = (op.prune_max_radii_2d
@@ -695,8 +765,9 @@ def training(mp, op, gp, rt, args):
                 if crossed(op.merge_interval):
                     hair_merging(model, info, arrays=arrays_cache)
                     topo_changed = True
-                if crossed(op.growth_interval):
-                    hair_growing(model, info)
+                if crossed(op.growth_interval) and grow_allowed():
+                    hair_growing(model, info, growth_length=op.growth_length)
+                    growth_events_done += 1
                     topo_changed = True
         if is_hair and topo_changed:
             refresh_smooth()
