@@ -1,17 +1,18 @@
 #!/bin/sh
-# Round-4 post-campaign chip work, in priority order. Launch ONLY when the
-# stage-3 campaign is done (campaign_done.txt) or aborted — these need a
-# solo chip for valid timings.
+# Post-campaign chip work, ROUND-5 agenda (this file is invoked by
+# r4_rebuild_campaign.sh step 8 once the stage-3 legs finish; rewritten in
+# round 5 — the round-4 items it replaced are either done or superseded,
+# see docs/ROUND5.md).
 set -x
 cd "$(dirname "$0")/.."
-mkdir -p _runs/perf_r4
+mkdir -p _runs/perf_r5
 sh scripts/wait_backend.sh || exit 1
 
-# 0. growth tail on the full leg's output (CPU, minutes): the round-4
-#    growth recipe (+2x2mm tips + merge) added +0.013 F1 and +0.06
-#    strand-consistency on the post-merge state; apply it to whatever the
-#    full leg produced and score both.
-if [ -d _runs/s3_full/point_cloud ]; then
+# 0. growth tail on the full leg's output (host-side, minutes): the growth
+#    recipe measured +0.024 F1 on the post-merge state this round
+#    (0.5120 -> 0.5359, _runs/s3_growth/eval.txt); apply to whatever the
+#    full leg produced and score it.
+if [ -d _runs/s3_full/point_cloud ] && [ ! -f _runs/s3_full_grown.log ]; then
   python scripts/grow_and_save.py -m _runs/s3_full --out _runs/s3_full_grown \
     > _runs/s3_full_grown.log 2>&1
   GLAST=$(ls _runs/s3_full_grown/point_cloud 2>/dev/null \
@@ -22,47 +23,28 @@ if [ -d _runs/s3_full/point_cloud ]; then
   echo "full_grown rc=$?" >> _runs/s3_full_grown.log
 fi
 
-# 0b. alignment tail on the headline leg (oracle probe: every 0.5mm of
-#    coherent motion ~ +0.05 F1) — extends a successful `full` leg or
-#    rescues a merely-close one; ~40 min. NOTE: the round-4 linearized
-#    probes predict gradient polish holds rather than improves F1; the
-#    growth tail above is the measured positive lever.
-if [ -d _runs/s3_full/point_cloud ]; then
-  sh scripts/stage3_corrective.sh polish_from _runs/s3_full \
-    > _runs/s3_full_polish.log 2>&1
-  echo "full_polish rc=$?" >> _runs/s3_full_polish.log
+# 1. round-5 parity gate (error-model comparison, scripts/tpu_parity_check.py)
+if ! grep -q "^PASS" _runs/perf_r5/parity.txt 2>/dev/null; then
+  python scripts/tpu_parity_check.py > _runs/perf_r5/parity.txt 2>&1
+  echo "parity rc=$?" >> _runs/perf_r5/parity.txt
 fi
 
-# 1. solo perf A/Bs: compact table + stats gating + binning sub-phases
-sh scripts/solo_perf_r4.sh > _runs/perf_r4/solo_suite.log 2>&1
-echo "solo_perf rc=$?" >> _runs/perf_r4/solo_suite.log
+# 2. solo headline bench at the round-5 defaults (compact pair table +
+#    DMA lookahead now default-on) + the cheap knob A/Bs that never got
+#    solo time: deeper prefetch via tiles_per_step, bf16 feature plane.
+python bench.py > _runs/perf_r5/bench_headline.json 2>_runs/perf_r5/bench_headline.err
+python bench.py --tiles_per_step 64 \
+  > _runs/perf_r5/bench_tps64.json 2>/dev/null
+python bench.py --feat_bf16 \
+  > _runs/perf_r5/bench_bf16.json 2>/dev/null
+python bench.py --max_tiles 8 --feat_bf16 \
+  > _runs/perf_r5/bench_r8_bf16.json 2>/dev/null
+date > _runs/perf_r5/bench_done.txt
 
-# 2. async-topology sustained-rate A/B (VERDICT r3 #4; self-contained)
-sh scripts/topo_async_ab.sh > _runs/perf_r4/topo_ab.log 2>&1
-echo "topo_ab rc=$?" >> _runs/perf_r4/topo_ab.log
-
-# 3. AA Stage-I probe (VERDICT r3 #6): 800-iter legs with/without
-#    --antialiasing on the 512^2 scene; compare masked-PSNR (the
-#    thin-strand darkness is rooted in Stage I).
-DATA=_runs/syn150_512/data
-for AA in off on; do
-  OUT=_runs/s1_aa_$AA
-  rm -rf "$OUT"
-  EXTRA=""
-  [ "$AA" = on ] && EXTRA="--antialiasing"
-  python train.py -s "$DATA" -m "$OUT" $EXTRA --logger none \
-    --iterations 800 --position_lr_max_steps 30000 \
-    --save_frequency 800 --eval_frequency 400 \
-    > _runs/perf_r4/s1_aa_$AA.log 2>&1
-  echo "aa_$AA rc=$?" >> _runs/perf_r4/s1_aa_$AA.log
-done
-
-date > _runs/perf_r4/after_campaign_done.txt
-
-# 4. headline run at the reference-native 1000^2 convention (multi-hour;
+# 3. headline run at the reference-native 1000^2 convention (multi-hour;
 #    resumable — safe to start at the tail of the round and let the next
 #    session/round harvest it). Skipped if already complete.
 if [ ! -f _runs/syn150_1k/done.txt ]; then
-  sh scripts/run_reference_schedule_1k.sh > _runs/perf_r4/sched_1k.log 2>&1
-  echo "sched_1k rc=$?" >> _runs/perf_r4/sched_1k.log
+  sh scripts/run_reference_schedule_1k.sh > _runs/perf_r5/sched_1k.log 2>&1
+  echo "sched_1k rc=$?" >> _runs/perf_r5/sched_1k.log
 fi
