@@ -39,7 +39,17 @@ def main():
     parser.add_argument("--init_points",
                         choices=["gt_hair_verts", "strand_roots"],
                         default="gt_hair_verts")
+    parser.add_argument("--platform", default=None,
+                        help="jax platform override (e.g. cpu) — rendering "
+                             "990k-segment views on a chip that is busy "
+                             "training risks OOM; env vars alone cannot "
+                             "override the preregistered axon TPU plugin")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from hairgs_tpu.data.head import load_head_from_usc_dataset
     from hairgs_tpu.data.synthetic import generate_dataset

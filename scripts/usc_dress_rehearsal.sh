@@ -1,0 +1,57 @@
+#!/bin/sh
+# Reference-scale dress rehearsal (VERDICT r4 item 8): prove the pipeline
+# survives the USC-HairSalon workload — 10,000 strands x 100 verts (~990k GT
+# points), 16 views at 1000^2 (ref data/hair_data.py:82-88,
+# scripts/parse_usc_hairsalon.py:89-91) — end to end: format-exact sample ->
+# parser -> dataset -> short Stage-I fit -> full eval grid.
+#
+# Stages 0-1 run on CPU (the chip may be mid-campaign; 990k-segment dataset
+# renders don't need it). Stage 2 (fit) uses the TPU; stage 3 (eval) is
+# host-side. Idempotent: each stage skips if its output exists.
+# USC_SKIP_FIT=1 stops after the dataset.
+set -x
+cd "$(dirname "$0")/.."
+BASE=_runs/usc_rehearsal
+DATA=$BASE/dataset/00001
+mkdir -p "$BASE"
+
+# 0. format-exact 10k-strand sample (binary .data + head OBJ)
+if [ ! -f "$BASE/raw/hairstyles/strands00001.data" ]; then
+  python scripts/synthesize_usc_sample.py --out "$BASE/raw" --sample 1 \
+    > "$BASE/synth.log" 2>&1 || exit 1
+fi
+
+# 1. the reference parser path: .data -> COLMAP scene + eval npzs at 1000^2
+if [ ! -f "$DATA/sparse/0/points3D.bin" ]; then
+  python scripts/parse_usc_hairsalon.py -d "$BASE/raw" -o "$BASE/dataset" \
+    --samples 1 --cameras 16 --width 1000 --height 1000 --platform cpu \
+    > "$BASE/parse.log" 2>&1 || exit 1
+fi
+
+[ -n "$USC_SKIP_FIT" ] && exit 0
+
+# 2. short Stage-I fit at reference scale: ~99k init points
+#    (gt_hair_verts/10), 1000^2 views. Proves memory + pair-table +
+#    compile at ~100k-500k gaussian scale; 64-tile budget up front per
+#    the >=512^2 recipe.
+if [ ! -d "$BASE/model/point_cloud" ]; then
+  sh scripts/wait_backend.sh || exit 1
+  python train.py -s "$DATA" -m "$BASE/model" --logger none \
+    --iterations 500 --position_lr_max_steps 30000 \
+    --max_tiles_per_gaussian 64 --capacity_round 131072 \
+    --save_frequency 500 --eval_frequency 250 \
+    > "$BASE/fit.log" 2>&1
+  echo "fit rc=$?" >> "$BASE/fit.log"
+fi
+
+# 3. full eval grid at ~990k GT points (host): the VERDICT bar is the grid
+#    completing in minutes, proving metric throughput at reference scale.
+LAST=$(ls "$BASE/model/point_cloud" 2>/dev/null | sed 's/iteration_//' \
+  | sort -n | tail -1)
+if [ -n "$LAST" ] && [ ! -f "$BASE/eval.txt" ]; then
+  /usr/bin/time -v python eval.py -s "$DATA" \
+    -p "$BASE/model/point_cloud/iteration_$LAST/point_cloud.ply" \
+    -pt gs -m "$BASE/model" > "$BASE/eval.txt" 2>&1
+  echo "eval rc=$?" >> "$BASE/eval.txt"
+fi
+date > "$BASE/done.txt"
