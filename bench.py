@@ -112,9 +112,15 @@ def _fallback_solo_artifact(note):
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "_runs", "perf_r*", "bench_*.json")),
         key=os.path.getmtime)
+    # default-config artifacts outrank knob-A/B ones regardless of which was
+    # written last (the A/B sweeps run AFTER the headline in the campaign)
+    headline = [p for p in candidates
+                if os.path.basename(p) == "bench_headline.json"]
+    others = [p for p in candidates if p not in headline]
+    candidates = others + headline  # reversed() scans headline first
     for path in reversed(candidates):
         if time.time() - os.path.getmtime(path) > 24 * 3600:
-            break
+            continue
         try:
             with open(path) as f:
                 rec = json.loads(f.read().strip().splitlines()[-1])
