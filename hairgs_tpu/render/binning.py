@@ -205,6 +205,28 @@ def _page_tiles(counts, chunk, p_pad, pair_capacity):
     return counts, padded_starts, overflow_capacity, pairs_demand
 
 
+def _quantize_depth(depth, num_tiles):
+    """The framework's canonical compositing-order key: ~20-bit quantized
+    view depth (the CUDA [tile|float-depth-bits] key, rasterizer_impl.cu:
+    70-111, uses 32 depth bits in a 64-bit key; an int32 fused key at 1000^2
+    leaves ~19 — a documented deviation). BOTH binning paths must sort this
+    same key: depth near-ties fall back to stable gaussian-index order, and
+    compositing is order-dependent at the ties — the round-4/5 on-TPU
+    parity-gate "FAIL" (2.78e-3 image err) was exactly the pallas path
+    (quantized key) and the XLA oracle (then exact-float key) ordering 17
+    tiles' ties differently: f64 host compositing of the two legal orders
+    reproduces 2.61e-3 (scripts/order_effect_probe.py), while every per-op
+    suspect measured clean on hardware (dots at HIGHEST 9.1e-8 rel-vs-f64,
+    cumsum 5.8e-7, exp/log1p bit-identical pallas-vs-XLA;
+    scripts/mosaic_precision_probe.py, scripts/cumsum_precision_probe.py).
+    """
+    depth_bits = max(1, min(23, int(np.floor(np.log2(2**31 / (num_tiles + 1))))))
+    levels = (1 << depth_bits) - 1
+    d = jax.lax.stop_gradient(depth)
+    dq = (jnp.clip(d / (d + 1.0), 0.0, 1.0) * levels).astype(jnp.int32)
+    return dq, levels
+
+
 def bin_gaussians_sorted(
     rect: jnp.ndarray,
     depth: jnp.ndarray,
@@ -251,14 +273,7 @@ def bin_gaussians_sorted(
     else:
         p_pad = paged_capacity(n, r_max, num_tiles, chunk)
 
-    # quantized depth: the CUDA [tile|float-depth-bits] key
-    # (rasterizer_impl.cu:70-111) uses 32 depth bits; ~19 bits at 1000^2
-    # keeps the same order except exact near-ties, which fall back to
-    # stable pair order.
-    depth_bits = max(1, min(23, int(np.floor(np.log2(2**31 / (num_tiles + 1))))))
-    levels = (1 << depth_bits) - 1
-    d = jax.lax.stop_gradient(depth)
-    dq = (jnp.clip(d / (d + 1.0), 0.0, 1.0) * levels).astype(jnp.int32)
+    dq, levels = _quantize_depth(depth, num_tiles)
 
     tile, overflow_pairs = _expand_pairs(
         rect, valid, grid_w, grid_h, r_max,
@@ -421,7 +436,11 @@ def bin_gaussians(
         xy=xy, conic=conic, q_cut=q_cut, tile_size=tile_size,
     )
 
-    depth_rep = jnp.broadcast_to(jax.lax.stop_gradient(depth)[:, None], (n, r_max))
+    # SAME quantized key as bin_gaussians_sorted (see _quantize_depth): the
+    # two paths must order depth ties identically or pallas-vs-XLA parity
+    # breaks at alpha^2 scale wherever ties overlap (~2.6e-3 measured).
+    dq, _ = _quantize_depth(depth, num_tiles)
+    depth_rep = jnp.broadcast_to(dq[:, None], (n, r_max))
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, r_max))
 
     sorted_tile, _, sorted_gid = jax.lax.sort(

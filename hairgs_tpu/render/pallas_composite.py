@@ -19,11 +19,15 @@ DISTWAR backward (backward_distwar.cu), replacing the pure-XLA scan compositor
   pipeline's per-step overhead over the 4k-tile grid;
 - all contractions are MXU-shaped: in-chunk prefix/suffix transmittance sums
   are triangular matmuls, color accumulation is (pixels x chunk) @
-  (chunk x channels). Every dot runs at Precision.HIGHEST: the TPU MXU's
-  default f32 precision rounds operands to bf16 (2^-8 rel), which measured
-  as a 2.7e-3 image error vs the XLA scan oracle in the round-4 on-TPU
-  parity gate; the step is overhead/HBM-bound (BASELINE.md roofline), so
-  the extra MXU passes are not on the critical path.
+  (chunk x channels). Every dot runs at Precision.HIGHEST: Mosaic honors
+  the attribute (measured 9.1e-8 rel-vs-f64, bit-identical to XLA:TPU
+  HIGHEST — scripts/mosaic_precision_probe.py), whereas the MXU DEFAULT
+  rounds f32 operands to bf16 (1.1e-3 rel measured), which would put
+  visible error into the log-space transmittance prefix sums; the step is
+  overhead/HBM-bound (BASELINE.md roofline), so the extra MXU passes are
+  not on the critical path. (The round-4 on-TPU parity-gate image error,
+  2.7e-3, was NOT dot precision: it was depth-tie compositing order —
+  see binning._quantize_depth.)
 
 The backward writes per-pair gradients into the paged order (each tile owns
 its chunk-aligned page, so writes never touch another tile's slots) and the

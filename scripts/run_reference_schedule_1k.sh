@@ -63,7 +63,10 @@ train_to() {
     attempts=$((attempts + 1))
     [ "$attempts" -gt 6 ] && { echo "stuck at $cur (target $target)"; return 1; }
     sh scripts/wait_backend.sh
-    python train.py -s "$DATA" -m "$OUT" $COMMON "$@" \
+    # the stall guard converts hung-tunnel RPCs (Aug-19 class: futex_do_wait
+    # forever on a dead axon session) into an exit this retry loop resumes
+    sh scripts/run_with_stall_guard.sh 1800 \
+      python train.py -s "$DATA" -m "$OUT" $COMMON "$@" \
       --iterations $((target - cur)) || true
   done
 }

@@ -36,7 +36,8 @@ fi
 #    the >=512^2 recipe.
 if [ ! -d "$BASE/model/point_cloud" ]; then
   sh scripts/wait_backend.sh || exit 1
-  python train.py -s "$DATA" -m "$BASE/model" --logger none \
+  sh scripts/run_with_stall_guard.sh 1800 \
+    python train.py -s "$DATA" -m "$BASE/model" --logger none \
     --iterations 500 --position_lr_max_steps 30000 \
     --max_tiles_per_gaussian 64 --capacity_round 131072 \
     --save_frequency 500 --eval_frequency 250 \

@@ -624,6 +624,16 @@ def training(mp, op, gp, rt, args):
         )
         if sync_now:
             m = jax.device_get(metrics)
+            # liveness heartbeat for scripts/run_with_stall_guard.sh: the
+            # device_get above proves the step stream is really advancing
+            # (a hung axon tunnel RPC blocks exactly here — the Aug-19
+            # stall left a leg in futex_do_wait for hours with the log
+            # silent); guards watch this file's mtime and kill+resume.
+            try:
+                with open(f"/tmp/hairgs_tpu_heartbeat_{os.getpid()}", "w") as f:
+                    f.write(str(iteration))
+            except OSError:
+                pass
             loss = float(m["loss"])
             check_finite(loss, iteration)
             info.loss = loss
