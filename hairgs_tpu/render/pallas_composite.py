@@ -19,15 +19,17 @@ DISTWAR backward (backward_distwar.cu), replacing the pure-XLA scan compositor
   pipeline's per-step overhead over the 4k-tile grid;
 - all contractions are MXU-shaped: in-chunk prefix/suffix transmittance sums
   are triangular matmuls, color accumulation is (pixels x chunk) @
-  (chunk x channels). Every dot runs at Precision.HIGHEST: Mosaic honors
-  the attribute (measured 9.1e-8 rel-vs-f64, bit-identical to XLA:TPU
-  HIGHEST — scripts/mosaic_precision_probe.py), whereas the MXU DEFAULT
-  rounds f32 operands to bf16 (1.1e-3 rel measured), which would put
-  visible error into the log-space transmittance prefix sums; the step is
-  overhead/HBM-bound (BASELINE.md roofline), so the extra MXU passes are
-  not on the critical path. (The round-4 on-TPU parity-gate image error,
-  2.7e-3, was NOT dot precision: it was depth-tie compositing order —
-  see binning._quantize_depth.)
+  (chunk x channels). Every dot goes through _dot_hi (manual bf16 hi/lo
+  split, 2-3 DEFAULT passes): the MXU DEFAULT alone (one bf16 pass,
+  1.1e-3 rel measured on hardware) would put visible error into the
+  log-space transmittance prefix sums; HIGHEST (bf16x6, full f32)
+  measured a 7% headline regression when it landed between the round-4
+  A/B (11.57 it/s) and the round-5 solo re-measure (10.74) — the "extra
+  passes are free" claim was wrong; and Precision.HIGH (the natural
+  middle) raises NotImplementedError in this Mosaic lowering. _dot_hi's
+  ~2^-18 rel keeps the parity gate's image error at the 1e-5 scale (gate
+  1e-3; the dominant term was compositing order, fixed — see
+  binning._quantize_depth).
 
 The backward writes per-pair gradients into the paged order (each tile owns
 its chunk-aligned page, so writes never touch another tile's slots) and the
@@ -50,6 +52,35 @@ T_EPS = 1e-4
 ALPHA_MAX = 0.99
 GEO_ROWS = 8  # x, y, a, b, c, opacity, aux0, aux1
 TILES_PER_STEP = 32
+
+
+def _dot_hi(a, b, dims, exact_b=False):
+    """bf16x3-class MXU contraction in 2-3 DEFAULT passes.
+
+    Mosaic implements only DEFAULT (one bf16 pass, 1.1e-3 rel measured on
+    hardware — too coarse for the log-space transmittance prefix sums) and
+    HIGHEST (bf16x6 full f32 — measured a 7% headline regression when it
+    landed on all 8 kernel dots; Precision.HIGH raises NotImplementedError
+    in the Mosaic lowering). This is the middle tier done by hand:
+    hi = bf16(x), lo = x - hi; the hi*hi + hi*lo + lo*hi passes accumulate
+    in f32 and bound the relative error at ~2^-18 (dropped lo*lo + the
+    MXU's re-rounding of lo) — ~30x inside the parity gate's budget now
+    that the dominant ordering term is fixed (binning._quantize_depth) —
+    at half or a third of HIGHEST's MXU passes.
+
+    exact_b: b is exactly bf16-representable (the 0/1 triangular masks),
+    so b needs no split — two passes, each product exact."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    kw = dict(preferred_element_type=jnp.float32)
+    if exact_b:
+        return (jax.lax.dot_general(a_hi, b, dims, **kw)
+                + jax.lax.dot_general(a_lo, b, dims, **kw))
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return (jax.lax.dot_general(a_hi, b_hi, dims, **kw)
+            + (jax.lax.dot_general(a_hi, b_lo, dims, **kw)
+               + jax.lax.dot_general(a_lo, b_hi, dims, **kw)))
 
 
 def pack_geo_rows(xy, conic, opacity, aux=None):
@@ -210,11 +241,9 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                     num_channels, alpha_min,
                 )
                 l = jnp.log1p(-alpha)
-                cum = jax.lax.dot_general(
-                    l, upper_incl, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # inclusive prefix over the chunk
+                # inclusive prefix over the chunk
+                cum = _dot_hi(l, upper_incl, (((1,), (0,)), ((), ())),
+                              exact_b=True)
                 t_incl = trans[:] * jnp.exp(cum)
                 live = t_incl >= T_EPS
                 # exp(cum - l) == exp(cum)/(1-alpha); alpha <= 0.99 so
@@ -223,11 +252,7 @@ def _fwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, out_ref, trans_ref,
                 w = jnp.where(live, alpha * t_excl, 0.0)
                 # (C, CH) x (PIX, CH) contracting CH -> (C, PIX): keeps
                 # the accumulator lane dim = pixels (no 128-lane padding)
-                accum[:] += jax.lax.dot_general(
-                    feat, w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                accum[:] += _dot_hi(feat, w, (((1,), (1,)), ((), ())))
                 new_trans = trans[:] * jnp.exp(
                     jnp.sum(jnp.where(live, l, 0.0), axis=1, keepdims=True)
                 )
@@ -339,11 +364,8 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                     num_channels, alpha_min,
                 )
                 l = jnp.log1p(-alpha)
-                cum = jax.lax.dot_general(
-                    l, upper_incl, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                cum = _dot_hi(l, upper_incl, (((1,), (0,)), ((), ())),
+                              exact_b=True)
                 trans_in = tstarts_ref[t_local * max_chunks + j, :][:, None]
                 t_incl = trans_in * jnp.exp(cum)
                 live = t_incl >= T_EPS
@@ -352,17 +374,10 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 w = jnp.where(live, alpha * t_excl, 0.0)
 
                 # f_k . g per (pixel, slot): contract C -> (PIX, CH)
-                fdotg = jax.lax.dot_general(
-                    g_out, feat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                fdotg = _dot_hi(g_out, feat, (((0,), (0,)), ((), ())))
                 wf = w * fdotg
-                suffix = jax.lax.dot_general(
-                    wf, strict_upper, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                suffix = _dot_hi(wf, strict_upper, (((1,), (0,)), ((), ())),
+                                 exact_b=True)
                 B = suffix + bcarry[:]
                 use = live & ok
                 dalpha = jnp.where(use, t_excl * fdotg - B / (1.0 - alpha), 0.0)
@@ -378,11 +393,7 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 d_b = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
                 d_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
                 # dL/dfeat (C, CH): contract pixels of g_out with w
-                d_feat = jax.lax.dot_general(
-                    g_out, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                d_feat = _dot_hi(g_out, w, (((1,), (0,)), ((), ())))
                 # photometric-only viewspace gradients (densification stats,
                 # reference train.py:173-177 semantics) into the aux rows —
                 # the marginal cost is one extra fdotg/suffix matmul pair.
@@ -390,17 +401,11 @@ def _bwd_kernel(starts_ref, counts_ref, geo_hbm, feat_hbm, tstarts_ref,
                 # stops at 0.9*iters, arguments/__init__.py:103): the stats
                 # are then dead weight in the step's largest phase.
                 if with_stats:
-                    fdotg2 = jax.lax.dot_general(
-                        g_photo, feat, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    fdotg2 = _dot_hi(g_photo, feat, (((0,), (0,)), ((), ())))
                     wf2 = w * fdotg2
-                    suffix2 = jax.lax.dot_general(
+                    suffix2 = _dot_hi(
                         wf2, strict_upper, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                        exact_b=True)
                     B2 = suffix2 + bcarry2[:]
                     dalpha2 = jnp.where(
                         use, t_excl * fdotg2 - B2 / (1.0 - alpha), 0.0)
